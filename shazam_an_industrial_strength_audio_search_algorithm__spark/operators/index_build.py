@@ -1,0 +1,183 @@
+"""Inverted-index construction — DataFrame-native.
+
+Reference parity (SURVEY §2.4 A1/A2, §3.1): the reference builds, one
+doc at a time in a single thread (``utils/Hashing.py:43-63``),
+(a) a per-doc ``shash`` = {hash → positions set} (``_Shazam_.py:242-280``)
+and (b) the global ``LUT`` = {hash → doc set} (``addLUT``,
+``_Shazam_.py:462-469``), both pickled whole.
+
+Here the same two artifacts are:
+
+- ``doc_terms(doc_id, term, tf, positions, doc_len)`` — the per-doc
+  term vector with positions (↔ shash; ``doc_len`` ↔ ``max_time``,
+  ``_Shazam_.py:278``), computed **narrow** (zero shuffle): every
+  token of a doc already lives in its row, so tf/positions/doc_len
+  come out of one Arrow-batched pandas UDF — the 100 TB design point
+  is that tokenization+counting never shuffles.
+- flat postings = ``doc_terms`` viewed term-major; the only wide
+  dependency in the whole build is the ``groupBy(term)`` that derives
+  document frequencies / posting groups (↔ the addLUT fold-in), and
+  at scale it is salted (see operators/segments.py for the
+  skew-split, block-compressed, resumable builder).
+
+Scale notes: docs are hashed to 64-bit ids JVM-side (``xxhash64`` —
+the determinism contract the reference gets from unsalted int-tuple
+``hash()``, ``_Shazam_.py:258-261``); empty docs are quarantined, not
+dropped silently (↔ ``[None, None]`` sentinel guards,
+``_Shazam_.py:463-465``, ``Matching.py:108-111``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from shazam_an_industrial_strength_audio_search_algorithm__spark.functions.tokenize import (
+    tokenize_py,
+)
+
+KEY_COLS = ["repo", "path", "commit"]
+
+DOC_TERM_STATS_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("tf", T.IntegerType()),
+            T.StructField("positions", T.ArrayType(T.IntegerType())),
+        ]
+    )
+)
+
+
+def with_doc_id(corpus: DataFrame) -> DataFrame:
+    """64-bit deterministic docID from the natural key (FIXTURES §1)."""
+    return corpus.withColumn("doc_id", F.xxhash64(*KEY_COLS))
+
+
+def dedup_last_wins(corpus: DataFrame) -> DataFrame:
+    """Duplicate (repo,path,commit) keys: last-writer-wins — the dict
+    semantics of the reference's ``wav.scp`` parse (``Hashing.py:30``,
+    SURVEY §2.1 S1). 'Last' is made deterministic by a monotonic
+    ``ingest_seq`` column if present, else arbitrary-but-single."""
+    from pyspark.sql import Window
+
+    order = (
+        F.col("ingest_seq").desc()
+        if "ingest_seq" in corpus.columns
+        else F.monotonically_increasing_id().desc()
+    )
+    w = Window.partitionBy(*KEY_COLS).orderBy(order)
+    return (
+        corpus.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@F.pandas_udf(DOC_TERM_STATS_SCHEMA)
+def doc_term_stats_udf(texts: pd.Series) -> pd.Series:
+    """content → [(term, tf, positions)] per doc. Arrow-batched, pure
+    per-row compute — the narrow fingerprinting step (↔ hashPeaks,
+    ``_Shazam_.py:242-280``, positions-set dedup at :269-276; here
+    positions are exact occurrence offsets, ascending)."""
+
+    def stats(text):
+        toks = tokenize_py(text)
+        agg: dict[str, list[int]] = {}
+        for pos, t in enumerate(toks):
+            agg.setdefault(t, []).append(pos)
+        return [
+            {"term": t, "tf": len(ps), "positions": ps} for t, ps in agg.items()
+        ]
+
+    return texts.map(stats)
+
+
+def build_doc_terms(corpus: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "content") -> DataFrame:
+    """corpus → doc_terms(doc_id, term, tf, positions, doc_len).
+
+    Zero-shuffle: one projection + one explode. ``doc_len`` = total
+    token count (BM25 length-normalization input, ↔ ``max_time``).
+    Empty docs vanish here; surface them with ``unindexed_docs``.
+    """
+    stats = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        doc_term_stats_udf(F.col(text_col)).alias("stats"),
+    )
+    return (
+        stats.withColumn(
+            "doc_len", F.aggregate("stats", F.lit(0), lambda a, s: a + s["tf"])
+        )
+        .select("doc_id", "doc_len", F.explode("stats").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.term").alias("term"),
+            F.col("s.tf").alias("tf"),
+            F.col("s.positions").alias("positions"),
+            "doc_len",
+        )
+    )
+
+
+def unindexed_docs(corpus: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "content") -> DataFrame:
+    """Quarantine side-output: docs that tokenize to nothing (↔ the
+    reference's [None,None]-sentinel skip + ``Unmatched_Dict`` remark,
+    ``Matching.py:108-111``)."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.functions.tokenize import (
+        tokens_col,
+    )
+
+    return corpus.filter(F.size(tokens_col(text_col)) == 0).select(
+        id_col, F.lit("empty_after_tokenize").alias("reason")
+    )
+
+
+def term_stats(doc_terms: DataFrame) -> DataFrame:
+    """term → document frequency. (doc_id, term) is unique in
+    doc_terms, so df = count(*) — map-side partial agg + final, the
+    one legitimate wide dep of the build."""
+    return doc_terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def corpus_stats(doc_terms: DataFrame) -> tuple[int, float]:
+    """(N, avgdl) — global scalars, computed once and broadcast into
+    the score expression as literals (never re-shuffled)."""
+    row = (
+        doc_terms.select("doc_id", "doc_len")
+        .groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("doc_len").alias("avgdl"),
+        )
+        .collect()[0]
+    )
+    return int(row["n"] or 0), float(row["avgdl"] or 0.0)
+
+
+@dataclass
+class InvertedIndex:
+    """In-memory (DataFrame) form of the index — engine v1. The
+    persisted, block-compressed, resumable form lives in
+    operators/segments.py."""
+
+    doc_terms: DataFrame
+    term_stats: DataFrame
+    n_docs: int
+    avgdl: float
+
+    @classmethod
+    def build(cls, corpus: DataFrame, id_col: str = "doc_id",
+              text_col: str = "content", cache: bool = True) -> "InvertedIndex":
+        if id_col == "doc_id" and "doc_id" not in corpus.columns:
+            corpus = with_doc_id(corpus)
+        dt = build_doc_terms(corpus, id_col, text_col)
+        if cache:
+            dt = dt.cache()
+        n, avgdl = corpus_stats(dt)
+        return cls(doc_terms=dt, term_stats=term_stats(dt), n_docs=n, avgdl=avgdl)

@@ -1,0 +1,125 @@
+"""BM25 top-k query execution — engine v1 (DataFrame plan).
+
+Reference parity (SURVEY §3.2): the reference answers a query by
+(1) fingerprinting it (``Matching.py:103-105``), (2) candidate
+generation = posting-list union-with-counts (``searchLUT_v2``,
+``_Shazam_.py:494-506``), (3) per-candidate offset-histogram scoring
+(``count_number_match``, ``_Shazam_.py:309-351``), (4) threshold
+"doc or Nil" with second-best tracking (``Matching.py:120-148``).
+
+Here steps 2+3 fuse into one dataflow: query terms join the postings
+on ``term`` (the ``keys() & keys()`` semi-join, ``_Shazam_.py:414``),
+BM25 replaces histogram voting, and top-k/threshold/second-best are
+window functions.
+
+Physical plan (the part that must survive 100×): the query side is
+tiny — BOTH auxiliary joins are explicit ``broadcast()``s, so the
+only wide dependency is the final ``groupBy(query_id, doc_id)``
+score-sum over matched postings. ``doc_terms`` is scanned once, with
+the term-membership filter applied as a broadcast hash join (≈ the
+reference's "touch only LUT entries for the query's keys" index
+access path, SURVEY §4). No sort of the full postings ever happens:
+top-k is ``row_number`` + filter → ``TakeOrderedAndProject``-shaped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from shazam_an_industrial_strength_audio_search_algorithm__spark.functions.bm25 import (
+    score_col,
+)
+from shazam_an_industrial_strength_audio_search_algorithm__spark.functions.tokenize import (
+    tokens_col,
+)
+from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.index_build import (
+    InvertedIndex,
+)
+
+
+def query_terms(queries: DataFrame, id_col: str = "query_id",
+                text_col: str = "text") -> DataFrame:
+    """(query_id, term) with distinct terms per query — the reference
+    counts each shared key once because LUT values are sets
+    (SURVEY §2.4 A3)."""
+    return (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.array_distinct(tokens_col(text_col))).alias("term"),
+        )
+    )
+
+
+def bm25_scores(index: InvertedIndex, queries: DataFrame,
+                id_col: str = "query_id", text_col: str = "text") -> DataFrame:
+    """(query_id, doc_id, score, matched_terms) for every candidate.
+
+    ``matched_terms`` ↔ the reference's ``num_matches`` candidate
+    count / ``num_union`` (``Matching.py:128``).
+    """
+    qt = query_terms(queries, id_col, text_col)
+    # df stats for just the query's terms — tiny; broadcast back in.
+    qt_stats = index.term_stats.join(
+        F.broadcast(qt.select("term").distinct()), "term"
+    )
+    matched = index.doc_terms.join(F.broadcast(qt), "term")
+    scored = matched.join(F.broadcast(qt_stats), "term").withColumn(
+        "term_score",
+        score_col(F.col("tf"), F.col("df"), F.col("doc_len"),
+                  index.n_docs, index.avgdl),
+    )
+    return scored.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score"),
+        F.count(F.lit(1)).alias("matched_terms"),
+    )
+
+
+def bm25_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
+              id_col: str = "query_id", text_col: str = "text") -> DataFrame:
+    """(query_id, rank, doc_id, score, matched_terms), rank 1..k with
+    the deterministic tie-break (score DESC, doc_id ASC) — SURVEY §2.5
+    W2's explicit replacement for Counter insertion order."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        bm25_scores(index, queries, id_col, text_col)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score", "matched_terms")
+    )
+
+
+def decide(topk: DataFrame, queries: DataFrame, threshold: float,
+           id_col: str = "query_id") -> DataFrame:
+    """Per-query "doc or Nil" + second-best (SURVEY §2.2 F7, §2.5 W3/W4).
+
+    Output: (query_id, matched_doc_id nullable, matched_score,
+    second_doc_id, second_score, n_candidates). Queries with zero
+    candidates appear with NULLs (left join from the query list — the
+    reference records every query in Matched_ or Unmatched_Dict,
+    ``Matching.py:128,141-148``).
+    """
+    ranked = topk.groupBy("query_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("doc_id"))).alias("top1_doc"),
+        F.max(F.when(F.col("rank") == 1, F.col("score"))).alias("top1_score"),
+        F.max(F.when(F.col("rank") == 2, F.col("doc_id"))).alias("second_doc_id"),
+        F.max(F.when(F.col("rank") == 2, F.col("score"))).alias("second_score"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    qs = queries.select(F.col(id_col).alias("query_id")).distinct()
+    out = qs.join(ranked, "query_id", "left")
+    is_match = F.col("top1_score") > F.lit(threshold)
+    return out.select(
+        "query_id",
+        F.when(is_match, F.col("top1_doc")).alias("matched_doc_id"),
+        F.when(is_match, F.col("top1_score")).alias("matched_score"),
+        # when Nil, the best rejected candidate is the "second best" the
+        # reference keeps "in case we want 2nd best" (Matching.py:133-139)
+        F.when(is_match, F.col("second_doc_id"))
+        .otherwise(F.col("top1_doc")).alias("second_doc_id"),
+        F.when(is_match, F.col("second_score"))
+        .otherwise(F.col("top1_score")).alias("second_score"),
+        F.coalesce(F.col("n_candidates"), F.lit(0)).alias("n_candidates"),
+    )

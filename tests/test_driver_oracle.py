@@ -1,0 +1,64 @@
+"""Simulates the driver's correctness gate: every ``queries()`` entry
+run on Spark at sf0.01 must equal its ``oracle_sql()`` twin run on
+DuckDB — row count, column names, and values (order-insensitive)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # hash-stable value canon: floats rounded, ints as int64-compatible
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+    return (
+        df.sort_values(by=list(df.columns), ignore_index=True)
+        if len(df) else df
+    )
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_matches_oracle(spark, ddb, name):
+    fn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    got = _normalize(fn(spark, SF_DIR).toPandas())
+    assert len(got) >= 0
+    if sql is None:
+        pytest.skip(f"{name}: rows-only check (no SQL oracle)")
+    want = _normalize(ddb.sql(sql).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-9
+    )
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert {"query_id", "rank", "doc_id"} <= set(df.columns)

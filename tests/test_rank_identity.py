@@ -1,0 +1,100 @@
+"""Rank-identity end-to-end gate (SURVEY §5.2, the north rule's core
+check): the Spark engine's BM25 top-k must match the single-node
+pandas oracle in docIDs AND scores, rank by rank, over the
+deterministic synthetic corpus; query classes (verbatim / noisy / nil)
+must resolve as FIXTURES.md §2 specifies."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.index_build import (
+    InvertedIndex,
+    with_doc_id,
+)
+from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.topk import (
+    bm25_topk,
+    decide,
+)
+from shazam_an_industrial_strength_audio_search_algorithm__spark.oracle import (
+    OracleIndex,
+    oracle_topk_frame,
+)
+
+K = 10
+THRESHOLD = 2.0
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus_df, corpus_pdf):
+    ids = with_doc_id(corpus_df)
+    index = InvertedIndex.build(ids)
+    id_map = ids.select("repo", "path", "commit", "doc_id").toPandas()
+    oracle_docs = corpus_pdf.merge(id_map, on=["repo", "path", "commit"])
+    oracle = OracleIndex.build(oracle_docs, id_col="doc_id", text_col="content")
+    return index, oracle, id_map
+
+
+def test_engine_matches_oracle_rank_identical(built, queries_df, queries_pdf):
+    index, oracle, _ = built
+    got = (
+        bm25_topk(index, queries_df, k=K)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    want = oracle_topk_frame(oracle, queries_pdf, k=K)
+    assert len(got) == len(want), "row counts differ"
+    for (_, g), (_, w) in zip(got.iterrows(), want.iterrows()):
+        assert g["query_id"] == w["query_id"]
+        assert g["rank"] == w["rank"]
+        assert g["doc_id"] == w["doc_id"], (
+            f"{g['query_id']} rank {g['rank']}: {g['doc_id']} != {w['doc_id']}"
+        )
+        assert math.isclose(g["score"], w["score"], rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_query_classes_resolve_correctly(built, queries_df, queries_pdf):
+    """verbatim + noisy → expected doc at rank 1 above threshold;
+    nil → no candidate above threshold (Nil semantics, Matching.py:127)."""
+    index, _, id_map = built
+    # collect() not toPandas(): nullable int64 doc_ids must not take a
+    # float64 round-trip (precision loss above 2^53)
+    decisions = {
+        r["query_id"]: r
+        for r in decide(
+            bm25_topk(index, queries_df, k=K), queries_df, threshold=THRESHOLD
+        ).collect()
+    }
+    key2id = {
+        (r["repo"], r["path"], r["commit"]): r["doc_id"]
+        for _, r in id_map.iterrows()
+    }
+    for _, q in queries_pdf.iterrows():
+        d = decisions[q["query_id"]]
+        if q["query_class"] == "nil":
+            assert d["matched_doc_id"] is None, (
+                f"{q['query_id']} (nil) matched {d['matched_doc_id']}"
+            )
+        else:
+            expected = key2id[
+                (q["expected_repo"], q["expected_path"], q["expected_commit"])
+            ]
+            assert int(d["matched_doc_id"]) == expected, (
+                f"{q['query_id']} ({q['query_class']}) matched "
+                f"{d['matched_doc_id']}, expected {expected}"
+            )
+
+
+def test_rank_stable_across_partitioning(spark, built, queries_df):
+    """Partition count must not change results (determinism contract,
+    SURVEY §7 hard part (a))."""
+    import dataclasses
+
+    index, _, _ = built
+    a = bm25_topk(index, queries_df, k=K).orderBy("query_id", "rank").toPandas()
+    idx13 = dataclasses.replace(index, doc_terms=index.doc_terms.repartition(13))
+    b = bm25_topk(idx13, queries_df, k=K).orderBy("query_id", "rank").toPandas()
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["rank"]) == list(b["rank"])
