@@ -1,0 +1,142 @@
+"""Segment index: build → query equals the v1 DataFrame engine;
+interrupted builds resume without recomputation; hot-term salting
+produces ordered, disjoint blocks (SURVEY §5.3 resume test, §7.4)."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.index_build import (
+    InvertedIndex,
+    with_doc_id,
+)
+from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
+    SegmentIndex,
+    build_segment_index,
+    drop_index,
+    segment_topk,
+)
+from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.topk import (
+    bm25_topk,
+)
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def index_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("segidx"))
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus_df, index_dir):
+    corpus = with_doc_id(corpus_df)
+    # hot_df tiny so the Zipf head actually gets salted at test scale
+    report = build_segment_index(
+        spark, corpus, index_dir, n_buckets=4, hot_df=8, block_size=16
+    )
+    return corpus, report
+
+
+def test_build_commits_all_manifests(built, index_dir):
+    _, report = built
+    assert sorted(report.built_buckets) == [0, 1, 2, 3]
+    for b in range(4):
+        m = json.load(open(f"{index_dir}/manifests/bucket_{b}.json"))
+        assert m["status"] == "committed"
+        assert m["n_postings"] > 0
+
+
+def test_segment_topk_equals_dataframe_engine(spark, built, index_dir, queries_df):
+    corpus, _ = built
+    seg = SegmentIndex.open(spark, index_dir)
+    got = segment_topk(seg, queries_df, k=K).orderBy("query_id", "rank").collect()
+    want = (
+        bm25_topk(InvertedIndex.build(corpus), queries_df, k=K)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (g["query_id"], g["rank"], g["doc_id"]) == (
+            w["query_id"], w["rank"], w["doc_id"],
+        )
+        assert math.isclose(g["score"], w["score"], rel_tol=1e-9)
+
+
+def test_blocks_are_salted_ordered_disjoint(spark, built, index_dir):
+    """Hot terms must fan out to >1 salt; within a term, blocks sorted
+    by (salt, block_seq) must have non-overlapping ascending
+    [doc_id_lo, doc_id_hi] ranges — the property WAND's sequential
+    merge relies on."""
+    segs = spark.read.parquet(f"{index_dir}/segments")
+    hot = (
+        segs.groupBy("term")
+        .agg(
+            F.countDistinct("salt").alias("n_salts"),
+            F.sum("n_docs").alias("df"),
+        )
+        .filter(F.col("df") > 8 * 2)
+        .collect()
+    )
+    assert any(r["n_salts"] > 1 for r in hot), "no hot term was salted"
+    rows = segs.orderBy("term", "salt", "block_seq").collect()
+    prev = {}
+    for r in rows:
+        key = r["term"]
+        assert r["doc_id_lo"] <= r["doc_id_hi"]
+        if key in prev:
+            assert r["doc_id_lo"] > prev[key], (
+                f"term {key}: block ranges overlap or out of order"
+            )
+        prev[key] = r["doc_id_hi"]
+
+
+def test_interrupted_build_resumes_without_recompute(spark, corpus_df, queries_df, tmp_path):
+    """Kill after 2 of 4 buckets; resume must skip the committed ones
+    and produce an index identical to the one-shot build."""
+    corpus = with_doc_id(corpus_df)
+    d = str(tmp_path / "resume_idx")
+    r1 = build_segment_index(
+        spark, corpus, d, n_buckets=4, hot_df=8, block_size=16, buckets=[0, 1]
+    )
+    assert r1.built_buckets == [0, 1]
+    with pytest.raises(FileNotFoundError):
+        SegmentIndex.open(spark, d)
+
+    mtimes = {
+        b: os.path.getmtime(f"{d}/manifests/bucket_{b}.json") for b in (0, 1)
+    }
+    r2 = build_segment_index(
+        spark, corpus, d, n_buckets=4, hot_df=8, block_size=16, resume=True
+    )
+    assert r2.phase_a_skipped
+    assert r2.skipped_buckets == [0, 1]
+    assert r2.built_buckets == [2, 3]
+    for b in (0, 1):  # committed buckets untouched
+        assert os.path.getmtime(f"{d}/manifests/bucket_{b}.json") == mtimes[b]
+
+    seg = SegmentIndex.open(spark, d)
+    got = segment_topk(seg, queries_df, k=K).orderBy("query_id", "rank").collect()
+    want = (
+        bm25_topk(InvertedIndex.build(corpus), queries_df, k=K)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [(g["query_id"], g["rank"], g["doc_id"]) for g in got] == [
+        (w["query_id"], w["rank"], w["doc_id"]) for w in want
+    ]
+    drop_index(d)
+
+
+def test_bucket_pruning_reads_subset(spark, built, index_dir):
+    """blocks_for_terms must touch only the buckets its terms hash to."""
+    seg = SegmentIndex.open(spark, index_dir)
+    one = seg.blocks_for_terms(["tok0000"])
+    buckets = {r["bucket"] for r in one.select("bucket").distinct().collect()}
+    assert len(buckets) == 1
