@@ -1,0 +1,258 @@
+"""Incremental index maintenance: upsert / delete / restore.
+
+Reference parity (``utils/Hashing_update.py``, SURVEY §3.3):
+
+- add with overwrite-by-key (``:60-81``: existing utt overwritten,
+  new appended)            → ``apply_updates(add_corpus=...)``
+- delete with ignored-skip of missing keys (``:83-100``, skip msg
+  ``:89-93``; ``removeLUT`` pops empty hash keys ``_Shazam_.py:
+  470-481``)               → ``apply_updates(delete_keys=...)``
+  (empty terms disappear because their posting groups become empty)
+- backup-then-rewrite of all catalogs (``:102-108``) → a real
+  snapshot commit: only affected buckets are rebuilt, every other
+  bucket is inherited by path; ``restore()`` is a CURRENT-pointer
+  flip (the reference's manual backup restore, for free).
+
+Scale analysis: an update touching D docs with T distinct terms
+rebuilds only the buckets those terms hash into — work is
+O(postings in affected buckets), not O(index). The removed-docs
+probe is a predicate-pushed scan of ``doc_terms`` (at 10^12 scale
+you'd add a doc_id bloom per file; the dataflow is unchanged).
+Global stats (n_docs, avgdl) are recomputed from the incrementally
+maintained doc_lens table and stored in the snapshot; stored
+block bounds stay safe because WAND recomputes bounds from raw
+(max_tf, min_dl) under the current avgdl (see segments.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.index_build import (
+    KEY_COLS,
+    build_doc_terms,
+    dedup_last_wins,
+    with_doc_id,
+)
+from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
+    SegmentIndex,
+    _atomic_write_json,
+    _write_current,
+    bucket_col,
+    build_bucket_segments,
+    read_snapshot,
+)
+
+
+@dataclass
+class UpdateReport:
+    snapshot_version: int | None
+    affected_buckets: list[int]
+    built_buckets: list[int]
+    skipped_buckets: list[int]
+    n_docs: int
+    avgdl: float
+
+
+def apply_updates(
+    spark: SparkSession,
+    index_dir: str,
+    add_corpus: DataFrame | None = None,
+    delete_keys: DataFrame | None = None,
+    resume: bool = False,
+) -> UpdateReport:
+    """MERGE-equivalent maintenance producing snapshot v+1.
+
+    ``add_corpus``: rows shaped like the corpus table; existing
+    (repo, path, commit) keys are overwritten, new keys appended.
+    ``delete_keys``: rows with (repo, path, commit); missing keys are
+    silently skipped. Resumable per affected bucket, like the build.
+    """
+    base = SegmentIndex.open(spark, index_dir)
+    new_version = base.version + 1
+    gen = f"u{new_version}"
+    mdir = f"{index_dir}/manifests/{gen}"
+    os.makedirs(mdir, exist_ok=True)
+    params_path = f"{mdir}/params.json"
+
+    dtdelta_path = f"{index_dir}/data/dtdelta_{gen}"
+    removed_path = f"{index_dir}/data/removed_{gen}"
+    dl_path = f"{index_dir}/data/dl_{gen}"
+
+    phase_a_done = resume and os.path.exists(params_path)
+    if not phase_a_done:
+        # --- doc ids being replaced or deleted -------------------------
+        removed_parts = []
+        if delete_keys is not None:
+            removed_parts.append(
+                with_doc_id(delete_keys.select(*KEY_COLS)).select("doc_id")
+            )
+        if add_corpus is not None:
+            add_corpus = with_doc_id(dedup_last_wins(add_corpus))
+            # overwrite-by-key: any incoming doc_id that already exists
+            removed_parts.append(
+                add_corpus.select("doc_id").join(
+                    base.doc_lens().select("doc_id"), "doc_id", "left_semi"
+                )
+            )
+        removed = None
+        if removed_parts:
+            removed = removed_parts[0]
+            for p in removed_parts[1:]:
+                removed = removed.unionByName(p)
+            removed = removed.distinct()
+            removed.write.mode("overwrite").parquet(removed_path)
+
+        # --- delta doc_terms for added docs ----------------------------
+        if add_corpus is not None:
+            delta = build_doc_terms(add_corpus).withColumn(
+                "bucket", bucket_col(F.col("term"), base.n_buckets)
+            )
+            delta.write.mode("overwrite").parquet(dtdelta_path)
+
+        # --- affected buckets ------------------------------------------
+        affected = set()
+        if add_corpus is not None:
+            affected.update(
+                r["bucket"]
+                for r in spark.read.parquet(dtdelta_path)
+                .select("bucket").distinct().collect()
+            )
+        if removed is not None:
+            removed_ids = spark.read.parquet(removed_path)
+            affected.update(
+                r["bucket"]
+                for r in base.doc_terms()
+                .join(F.broadcast(removed_ids), "doc_id", "left_semi")
+                .select("bucket").distinct().collect()
+            )
+        affected = sorted(affected)
+
+        # --- new doc_lens + global stats --------------------------------
+        dl = base.doc_lens()
+        if removed is not None:
+            dl = dl.join(
+                F.broadcast(spark.read.parquet(removed_path)),
+                "doc_id", "left_anti",
+            )
+        if add_corpus is not None:
+            new_dl = (
+                spark.read.parquet(dtdelta_path)
+                .groupBy("doc_id")
+                .agg(F.first("doc_len").alias("doc_len"))
+            )
+            dl = dl.unionByName(new_dl)
+        dl.write.mode("overwrite").parquet(dl_path)
+        row = (
+            spark.read.parquet(dl_path)
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl"))
+            .collect()[0]
+        )
+        _atomic_write_json(
+            params_path,
+            {
+                "base_version": base.version,
+                "n_docs": int(row["n"] or 0),
+                "avgdl": float(row["avgdl"] or 0.0),
+                "affected_buckets": affected,
+                "has_removed": removed is not None,
+                "has_delta": add_corpus is not None,
+            },
+        )
+    params = json.load(open(params_path))
+    affected = params["affected_buckets"]
+    n_docs, avgdl = params["n_docs"], params["avgdl"]
+    base_snap = read_snapshot(index_dir, params["base_version"])
+
+    built, skipped = [], []
+    for b in affected:
+        if resume and os.path.exists(f"{mdir}/bucket_{b}.json"):
+            skipped.append(b)
+            continue
+        # updated doc_terms for this bucket = old minus removed + delta
+        dt = base.doc_terms([b]).drop("bucket")
+        if params["has_removed"]:
+            dt = dt.join(
+                F.broadcast(spark.read.parquet(removed_path)),
+                "doc_id", "left_anti",
+            )
+        if params["has_delta"]:
+            dt = dt.unionByName(
+                spark.read.parquet(dtdelta_path)
+                .filter(F.col("bucket") == b)
+                .drop("bucket")
+            )
+        dt_out = f"{index_dir}/data/dt_{gen}/bucket={b}"
+        dt.write.mode("overwrite").parquet(dt_out)
+        # re-attach bucket dir layout expected by build_bucket_segments
+        build_bucket_segments(
+            spark, index_dir, gen, b,
+            dt_path=f"{index_dir}/data/dt_{gen}",
+            avgdl=avgdl, n_docs=n_docs,
+            hot_df=base_snap["hot_df"],
+            max_salt_bits=base_snap["max_salt_bits"],
+            block_size=base_snap["block_size"],
+        )
+        built.append(b)
+
+    done = all(
+        os.path.exists(f"{mdir}/bucket_{b}.json") for b in affected
+    )
+    version = None
+    if done:
+        version = new_version
+        buckets_map = dict(base_snap["buckets"])
+        for b in affected:
+            buckets_map[str(b)] = {
+                "doc_terms": f"data/dt_{gen}/bucket={b}",
+                "segments": f"data/seg_{gen}/bucket={b}",
+            }
+        _atomic_write_json(
+            f"{index_dir}/snapshots/v{version}.json",
+            {
+                "n_docs": n_docs,
+                "avgdl": avgdl,
+                "n_buckets": base_snap["n_buckets"],
+                "block_size": base_snap["block_size"],
+                "hot_df": base_snap["hot_df"],
+                "max_salt_bits": base_snap["max_salt_bits"],
+                "doc_lens": f"data/dl_{gen}",
+                "buckets": buckets_map,
+                "parent": params["base_version"],
+                "operation": "update",
+            },
+        )
+        _write_current(index_dir, version)
+    return UpdateReport(
+        snapshot_version=version,
+        affected_buckets=affected,
+        built_buckets=built,
+        skipped_buckets=skipped,
+        n_docs=n_docs,
+        avgdl=avgdl,
+    )
+
+
+def restore(index_dir: str, version: int) -> None:
+    """Time-travel rollback: point CURRENT at an older snapshot (the
+    reference's backup-file restore, ``Hashing_update.py:102-108``,
+    as a pointer flip; no data moves)."""
+    if not os.path.exists(f"{index_dir}/snapshots/v{version}.json"):
+        raise FileNotFoundError(f"snapshot v{version} does not exist")
+    _write_current(index_dir, version)
+
+
+def snapshot_log(index_dir: str) -> list[dict]:
+    """Snapshot lineage, oldest→newest (Iceberg history analog)."""
+    out = []
+    for name in sorted(os.listdir(f"{index_dir}/snapshots")):
+        if name.startswith("v") and name.endswith(".json"):
+            snap = json.load(open(f"{index_dir}/snapshots/{name}"))
+            snap["version"] = int(name[1:-5])
+            out.append(snap)
+    return sorted(out, key=lambda s: s["version"])

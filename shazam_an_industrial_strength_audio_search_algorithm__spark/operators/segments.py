@@ -1,41 +1,57 @@
-"""Persisted, compressed, resumable segment index — engine v2.
+"""Persisted, compressed, resumable, snapshot-versioned segment index.
 
 This is the Spark-first replacement for the reference's index
 persistence + consolidation machinery:
 
 - per-doc ``.shash`` pickle files (``Hashing.py:45,52``) →
-  ``doc_terms/`` parquet partitioned by term-bucket (written once,
-  tokenize never re-runs);
+  ``doc_terms`` parquet partitioned by term-bucket (tokenize runs
+  once, ever);
 - the single in-RAM ``LUT`` pickle (``Hashing.py:65``, loaded
-  wholesale at ``Matching.py:62-67``) → ``segments/`` parquet of
-  delta-gap+varint posting blocks with per-block ``max_tfnorm``
-  (block-max WAND metadata) — read with partition pruning +
-  predicate pushdown instead of a full load;
+  wholesale at ``Matching.py:62-67``) → posting-block parquet
+  (delta-gap+varint payloads with per-block max_tf/min_dl/max_tfnorm
+  = block-max WAND metadata), read with partition pruning + predicate
+  pushdown instead of a full RAM load;
 - the shell split / background jobs / ``Combine.py`` merge
   (``README.md:51,58-66``, ``Combine.py:55-62``) → per-bucket build
-  jobs, each committing an atomic manifest; the combine step
-  disappears because bucket outputs are disjoint by construction;
-- mid-job checkpointing every 100 rows (``Matching.py:21,46-57``)
-  → per-bucket manifests: an interrupted build resumes by building
-  only buckets whose manifest is missing (the ``if utt in
-  Unmatched_Dict: continue`` skip, ``Matching.py:96``, as an
-  anti-join of work against committed state).
+  jobs committing atomic manifests; the combine step disappears
+  because bucket outputs are disjoint by construction;
+- mid-job checkpointing (``Matching.py:21,46-57``) → per-bucket
+  manifests: an interrupted build resumes by building only buckets
+  whose manifest is missing (the ``if utt in Unmatched_Dict:
+  continue`` skip, ``Matching.py:96``);
+- backup-then-rewrite on update (``Hashing_update.py:102-108``) →
+  real snapshots: a ``CURRENT`` pointer + immutable per-snapshot
+  bucket→path maps; updates rewrite only affected buckets and inherit
+  the rest; ``restore()`` is a pointer flip (SURVEY §3.3).
+
+Layout::
+
+    index_dir/
+      CURRENT                     # text file: current snapshot version
+      snapshots/v<N>.json         # stats + {bucket: {doc_terms, segments}}
+      data/dt_<gen>/bucket=K/     # doc_terms parquet for generation <gen>
+      data/seg_<gen>/bucket=K/    # posting blocks for generation <gen>
+      data/dl_<gen>/              # doc_lens parquet
+      manifests/<gen>/bucket_K.json
 
 Scale design (the 100 TB story):
 
 - ``bucket = pmod(xxhash64(term), n_buckets)`` — a term's postings
   all land in one bucket, so bucket-local df == global df, buckets
-  build independently, and query terms prune to their buckets.
+  build independently and in parallel, and query terms prune to
+  their buckets.
 - Hot terms (stop-token-like landmark hashes; the reference has zero
   skew handling and eats it in RAM, SURVEY §4) are salted by
   **doc_id range** (top bits, sign-flipped so ranges follow signed
   order): per-(term, salt) groups are disjoint and internally
   ordered, so blocks come out globally doc_id-sorted without a
   second regroup — the salt splits the skewed group AND preserves
-  merge order, which is what makes the two-phase aggregation correct.
+  merge order.
 - ``doc_len`` is inlined in the payload: scoring needs no norms join.
-- One wide shuffle per bucket job (the groupBy); encoding runs in
-  Arrow-batched ``applyInPandas`` with the numpy codec.
+- Block bounds are stored as raw ints (max_tf, min_dl) so WAND upper
+  bounds stay SAFE when later snapshots change n_docs/avgdl
+  (tfnorm is increasing in tf, decreasing in dl — the bound is
+  recomputed from the current avgdl at query time).
 """
 
 from __future__ import annotations
@@ -78,17 +94,41 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("doc_id_lo", T.LongType()),
         T.StructField("doc_id_hi", T.LongType()),
         T.StructField("n_docs", T.IntegerType()),
+        T.StructField("max_tf", T.LongType()),
+        T.StructField("min_dl", T.LongType()),
         T.StructField("max_tfnorm", T.DoubleType()),
         T.StructField("payload", T.BinaryType()),
     ]
 )
 
+DT_COLS = ["term", "doc_id", "tf", "positions", "doc_len"]
+
+
+# ---------------------------------------------------------------------------
+# low-level helpers
+# ---------------------------------------------------------------------------
+def bucket_col(term_col, n_buckets: int):
+    return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
+
+
+def resolve_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> list[int]:
+    """Bucket ids for the given terms via the same JVM xxhash64 the
+    build used (one tiny local job — never re-guess the hash in
+    Python)."""
+    if not terms:
+        return []
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    rows = (
+        df.select(bucket_col(F.col("term"), n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["b"] for r in rows)
+
 
 def _encode_groups(avgdl: float, block_size: int):
     """applyInPandas group encoder: one (term, df, salt) group of
-    postings → block rows. Sorted by doc_id; ``max_tfnorm`` is the
-    block-max BM25 tf-component (the term's idf multiplies in
-    column-side: max_score = idf(df) * max_tfnorm)."""
+    postings → block rows, sorted by doc_id."""
 
     def fn(key, pdf: pd.DataFrame):
         term, df, salt = key[0], int(key[1]), int(key[2])
@@ -109,6 +149,8 @@ def _encode_groups(avgdl: float, block_size: int):
                     "doc_id_lo": int(ids[s]),
                     "doc_id_hi": int(ids[e - 1]),
                     "n_docs": int(e - s),
+                    "max_tf": int(tfs[s:e].max()),
+                    "min_dl": int(dls[s:e].min()),
                     "max_tfnorm": float(tfnorm[s:e].max()),
                     "payload": encode_block(ids[s:e], tfs[s:e], dls[s:e]),
                 }
@@ -118,6 +160,107 @@ def _encode_groups(avgdl: float, block_size: int):
     return fn
 
 
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _read_current(index_dir: str) -> int:
+    with open(f"{index_dir}/CURRENT") as f:
+        return int(f.read().strip())
+
+
+def _write_current(index_dir: str, version: int) -> None:
+    tmp = f"{index_dir}/CURRENT.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, f"{index_dir}/CURRENT")
+
+
+def read_snapshot(index_dir: str, version: int | None = None) -> dict:
+    if version is None:
+        version = _read_current(index_dir)
+    snap = json.load(open(f"{index_dir}/snapshots/v{version}.json"))
+    snap["version"] = version
+    return snap
+
+
+def build_bucket_segments(
+    spark: SparkSession,
+    index_dir: str,
+    gen: str,
+    bucket: int,
+    dt_path: str,
+    avgdl: float,
+    n_docs: int,
+    hot_df: int,
+    max_salt_bits: int,
+    block_size: int,
+) -> None:
+    """One bucket: doc_terms → salted, block-encoded segments +
+    atomic manifest. Idempotent (overwrite + manifest-last)."""
+    bucket_dt = spark.read.parquet(dt_path).filter(
+        F.col("bucket") == bucket
+    ).select("term", "doc_id", "tf", "doc_len")
+    # global df (bucket-local == global: bucket is a function of term)
+    with_df = bucket_dt.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    # df-driven salt fan-out: hot terms split by doc_id range so
+    # per-(term, salt) groups are disjoint AND ordered
+    salted = (
+        with_df.withColumn(
+            "salt_bits",
+            F.when(
+                F.col("df") > hot_df,
+                F.least(
+                    F.ceil(F.log2(F.col("df") / F.lit(float(hot_df)))),
+                    F.lit(max_salt_bits),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .withColumn("flipped", F.col("doc_id").bitwiseXOR(F.lit(SIGN_FLIP)))
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("salt_bits") > 0,
+                F.expr("CAST(shiftrightunsigned(flipped, 64 - salt_bits) AS INT)"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("salt_bits", "flipped")
+    )
+    blocks = salted.groupBy("term", "df", "salt").applyInPandas(
+        _encode_groups(avgdl, block_size), schema=BLOCK_SCHEMA
+    )
+    out = f"{index_dir}/data/seg_{gen}/bucket={bucket}"
+    blocks.write.mode("overwrite").parquet(out)
+    stats = (
+        spark.read.parquet(out)
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_postings"),
+            F.countDistinct("term").alias("n_terms"),
+        )
+        .collect()[0]
+    )
+    _atomic_write_json(
+        f"{index_dir}/manifests/{gen}/bucket_{bucket}.json",
+        {
+            "bucket": bucket,
+            "gen": gen,
+            "n_blocks": int(stats["n_blocks"]),
+            "n_postings": int(stats["n_postings"]),
+            "n_terms": int(stats["n_terms"]),
+            "n_docs_corpus": n_docs,
+            "status": "committed",
+        },
+    )
+
+
 @dataclass
 class BuildReport:
     built_buckets: list[int]
@@ -125,13 +268,7 @@ class BuildReport:
     phase_a_skipped: bool
     n_docs: int
     avgdl: float
-
-
-def _atomic_write_json(path: str, obj: dict) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(obj, f, indent=1, sort_keys=True)
-    os.replace(tmp, path)
+    snapshot_version: int | None  # None while incomplete (buckets pending)
 
 
 def build_segment_index(
@@ -147,136 +284,117 @@ def build_segment_index(
     text_col: str = "content",
     buckets: list[int] | None = None,
 ) -> BuildReport:
-    """Two-phase resumable build.
+    """Initial build (snapshot v1), two-phase and resumable.
 
     Phase A (once): tokenize → doc_terms parquet partitioned by term
-    bucket, + doc_lens + meta.json. Tokenization runs exactly once no
-    matter how often phase B restarts. Phase B (per bucket,
-    resumable): bucket-pruned read → window df → df-driven salt →
-    ``applyInPandas`` block encode → segment parquet + atomic
-    manifest.
+    bucket, + doc_lens + build-params json. Phase B (per bucket,
+    resumable): see ``build_bucket_segments``. Snapshot v1 + CURRENT
+    commit only when every bucket's manifest exists.
 
     ``buckets`` limits phase B to a subset (tests use it to simulate
     an interrupted build; a real deployment passes None).
     """
+    gen = "init"
     if id_col == "doc_id" and "doc_id" not in corpus.columns:
         corpus = with_doc_id(corpus)
-    os.makedirs(f"{index_dir}/manifests", exist_ok=True)
+    os.makedirs(f"{index_dir}/manifests/{gen}", exist_ok=True)
+    os.makedirs(f"{index_dir}/snapshots", exist_ok=True)
 
-    meta_path = f"{index_dir}/meta.json"
-    phase_a_done = resume and os.path.exists(meta_path)
+    params_path = f"{index_dir}/manifests/{gen}/params.json"
+    dt_path = f"{index_dir}/data/dt_{gen}"
+    dl_path = f"{index_dir}/data/dl_{gen}"
+    phase_a_done = resume and os.path.exists(params_path)
     if not phase_a_done:
         dt = build_doc_terms(corpus, id_col, text_col).withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+            "bucket", bucket_col(F.col("term"), n_buckets)
         )
         (
             dt.repartition(n_buckets, "bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(f"{index_dir}/doc_terms")
+            .parquet(dt_path)
         )
-        dl = (
-            spark.read.parquet(f"{index_dir}/doc_terms")
+        (
+            spark.read.parquet(dt_path)
             .groupBy("doc_id")
             .agg(F.first("doc_len").alias("doc_len"))
+            .write.mode("overwrite")
+            .parquet(dl_path)
         )
-        dl.write.mode("overwrite").parquet(f"{index_dir}/doc_lens")
         row = (
-            spark.read.parquet(f"{index_dir}/doc_lens")
+            spark.read.parquet(dl_path)
             .agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl"))
             .collect()[0]
         )
         _atomic_write_json(
-            meta_path,
+            params_path,
             {
                 "n_docs": int(row["n"] or 0),
                 "avgdl": float(row["avgdl"] or 0.0),
                 "n_buckets": n_buckets,
                 "block_size": block_size,
                 "hot_df": hot_df,
+                "max_salt_bits": max_salt_bits,
                 "format_version": 2,
             },
         )
-    meta = json.load(open(meta_path))
-    n_buckets = meta["n_buckets"]
-    avgdl = meta["avgdl"]
+    params = json.load(open(params_path))
+    n_buckets, avgdl = params["n_buckets"], params["avgdl"]
 
     todo = list(range(n_buckets)) if buckets is None else list(buckets)
     built, skipped = [], []
     for b in todo:
-        manifest_path = f"{index_dir}/manifests/bucket_{b}.json"
-        if resume and os.path.exists(manifest_path):
+        if resume and os.path.exists(f"{index_dir}/manifests/{gen}/bucket_{b}.json"):
             skipped.append(b)
             continue
-        bucket_dt = (
-            spark.read.parquet(f"{index_dir}/doc_terms")
-            .filter(F.col("bucket") == b)
-            .select("term", "doc_id", "tf", "doc_len")
-        )
-        # global df (bucket-local == global: bucket is a function of term)
-        with_df = bucket_dt.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-        )
-        # df-driven salt fan-out: hot terms split by doc_id range so
-        # per-(term, salt) groups are disjoint AND ordered
-        salted = (
-            with_df.withColumn(
-                "salt_bits",
-                F.when(
-                    F.col("df") > hot_df,
-                    F.least(
-                        F.ceil(F.log2(F.col("df") / F.lit(float(hot_df)))),
-                        F.lit(max_salt_bits),
-                    ),
-                )
-                .otherwise(F.lit(0))
-                .cast("int"),
-            )
-            .withColumn("flipped", F.col("doc_id").bitwiseXOR(F.lit(SIGN_FLIP)))
-            .withColumn(
-                "salt",
-                F.when(
-                    F.col("salt_bits") > 0,
-                    F.expr("CAST(shiftrightunsigned(flipped, 64 - salt_bits) AS INT)"),
-                ).otherwise(F.lit(0)),
-            )
-            .drop("salt_bits", "flipped")
-        )
-        blocks = salted.groupBy("term", "df", "salt").applyInPandas(
-            _encode_groups(avgdl, block_size), schema=BLOCK_SCHEMA
-        )
-        out = f"{index_dir}/segments/bucket={b}"
-        blocks.write.mode("overwrite").parquet(out)
-        stats = (
-            spark.read.parquet(out)
-            .agg(
-                F.count(F.lit(1)).alias("n_blocks"),
-                F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_postings"),
-                F.countDistinct("term").alias("n_terms"),
-            )
-            .collect()[0]
-        )
-        _atomic_write_json(
-            manifest_path,
-            {
-                "bucket": b,
-                "n_blocks": int(stats["n_blocks"]),
-                "n_postings": int(stats["n_postings"]),
-                "n_terms": int(stats["n_terms"]),
-                "n_docs_corpus": meta["n_docs"],
-                "status": "committed",
-            },
+        build_bucket_segments(
+            spark, index_dir, gen, b, dt_path, avgdl, params["n_docs"],
+            params["hot_df"], params["max_salt_bits"], params["block_size"],
         )
         built.append(b)
+
+    done = all(
+        os.path.exists(f"{index_dir}/manifests/{gen}/bucket_{b}.json")
+        for b in range(n_buckets)
+    )
+    version = None
+    if done:
+        version = 1
+        _atomic_write_json(
+            f"{index_dir}/snapshots/v{version}.json",
+            {
+                "n_docs": params["n_docs"],
+                "avgdl": avgdl,
+                "n_buckets": n_buckets,
+                "block_size": params["block_size"],
+                "hot_df": params["hot_df"],
+                "max_salt_bits": params["max_salt_bits"],
+                "doc_lens": f"data/dl_{gen}",
+                "buckets": {
+                    str(b): {
+                        "doc_terms": f"data/dt_{gen}/bucket={b}",
+                        "segments": f"data/seg_{gen}/bucket={b}",
+                    }
+                    for b in range(n_buckets)
+                },
+                "parent": None,
+                "operation": "initial_build",
+            },
+        )
+        _write_current(index_dir, version)
     return BuildReport(
         built_buckets=built,
         skipped_buckets=skipped,
         phase_a_skipped=phase_a_done,
-        n_docs=meta["n_docs"],
+        n_docs=params["n_docs"],
         avgdl=avgdl,
+        snapshot_version=version,
     )
 
 
+# ---------------------------------------------------------------------------
+# reader + query
+# ---------------------------------------------------------------------------
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
@@ -303,77 +421,92 @@ def _decode_partition(it):
         yield (
             pd.concat(outs, ignore_index=True)
             if outs
-            else pd.DataFrame(columns=cols)
+            else pd.DataFrame(
+                {c: pd.Series(dtype="int64" if c != "term" else "object")
+                 for c in cols}
+            )
         )
 
 
 @dataclass
 class SegmentIndex:
-    """Reader over a committed segment index."""
+    """Reader over a committed snapshot of the index."""
 
     spark: SparkSession
     index_dir: str
-    n_docs: int
-    avgdl: float
-    n_buckets: int
+    snapshot: dict
 
     @classmethod
-    def open(cls, spark: SparkSession, index_dir: str) -> "SegmentIndex":
-        meta = json.load(open(f"{index_dir}/meta.json"))
-        missing = [
-            b
-            for b in range(meta["n_buckets"])
-            if not os.path.exists(f"{index_dir}/manifests/bucket_{b}.json")
-        ]
-        if missing:
+    def open(cls, spark: SparkSession, index_dir: str,
+             version: int | None = None) -> "SegmentIndex":
+        if not os.path.exists(f"{index_dir}/CURRENT"):
             raise FileNotFoundError(
-                f"index at {index_dir} incomplete: buckets {missing} lack "
-                f"manifests — resume the build"
+                f"no committed snapshot at {index_dir} — the initial build "
+                f"is incomplete; resume it"
             )
-        return cls(
-            spark=spark,
-            index_dir=index_dir,
-            n_docs=meta["n_docs"],
-            avgdl=meta["avgdl"],
-            n_buckets=meta["n_buckets"],
-        )
+        return cls(spark=spark, index_dir=index_dir,
+                   snapshot=read_snapshot(index_dir, version))
 
-    def segments(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/segments")
+    @property
+    def version(self) -> int:
+        return self.snapshot["version"]
+
+    @property
+    def n_docs(self) -> int:
+        return self.snapshot["n_docs"]
+
+    @property
+    def avgdl(self) -> float:
+        return self.snapshot["avgdl"]
+
+    @property
+    def n_buckets(self) -> int:
+        return self.snapshot["n_buckets"]
+
+    def _read_buckets(self, kind: str, buckets: list[int] | None) -> DataFrame:
+        """Union of per-bucket parquet scans with the bucket id
+        re-attached. Path selection IS the partition pruning — after
+        updates, different buckets live in different generations, so
+        pruning by explicit path beats directory-discovery."""
+        bs = list(range(self.n_buckets)) if buckets is None else list(buckets)
+        dfs = [
+            self.spark.read.parquet(
+                f"{self.index_dir}/{self.snapshot['buckets'][str(b)][kind]}"
+            ).withColumn("bucket", F.lit(b))
+            for b in bs
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def segments(self, buckets: list[int] | None = None) -> DataFrame:
+        return self._read_buckets("segments", buckets)
+
+    def doc_terms(self, buckets: list[int] | None = None) -> DataFrame:
+        return self._read_buckets("doc_terms", buckets)
 
     def doc_lens(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/doc_lens")
+        return self.spark.read.parquet(
+            f"{self.index_dir}/{self.snapshot['doc_lens']}"
+        )
 
     def blocks_for_terms(self, terms: list[str]) -> DataFrame:
-        """Partition-pruned + predicate-pushed block scan: only the
-        buckets/row-groups containing the given terms are read — the
+        """Bucket-pruned + term-predicate-pushed block scan — the
         reference's 'touch only LUT entries for the query keys'
         access path (SURVEY §4), done by the storage layer."""
         buckets = resolve_buckets(self.spark, terms, self.n_buckets)
-        return self.segments().filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
-        )
+        if not buckets:
+            return self.segments([0]).filter(F.lit(False))
+        return self.segments(buckets).filter(F.col("term").isin(terms))
 
     def postings_for_terms(self, terms: list[str]) -> DataFrame:
-        """Decoded postings (term, df, doc_id, tf, doc_len)."""
         return self.blocks_for_terms(terms).mapInPandas(
             _decode_partition, schema=DECODED_SCHEMA
         )
 
     def idf(self, df: int) -> float:
         return idf_py(df, self.n_docs)
-
-
-def resolve_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> list[int]:
-    """bucket ids of the given terms, via the same JVM xxhash64 the
-    build used (one tiny local job — never guess the hash in Python)."""
-    if not terms:
-        return []
-    df = spark.createDataFrame([(t,) for t in terms], "term string")
-    rows = df.select(
-        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
-    ).distinct().collect()
-    return sorted(r["b"] for r in rows)
 
 
 def segment_topk(
@@ -397,8 +530,7 @@ def segment_topk(
 
     qt = query_terms(queries, id_col, text_col)
     terms = [r["term"] for r in qt.select("term").distinct().collect()]
-    blocks = index.blocks_for_terms(terms)
-    postings = blocks.mapInPandas(_decode_partition, schema=DECODED_SCHEMA)
+    postings = index.postings_for_terms(terms)
     scored = (
         postings.join(F.broadcast(qt), "term")
         .withColumn(

@@ -43,11 +43,13 @@ def built(spark, corpus_df, index_dir):
     return corpus, report
 
 
-def test_build_commits_all_manifests(built, index_dir):
+def test_build_commits_snapshot_and_manifests(built, index_dir):
     _, report = built
     assert sorted(report.built_buckets) == [0, 1, 2, 3]
+    assert report.snapshot_version == 1
+    assert open(f"{index_dir}/CURRENT").read().strip() == "1"
     for b in range(4):
-        m = json.load(open(f"{index_dir}/manifests/bucket_{b}.json"))
+        m = json.load(open(f"{index_dir}/manifests/init/bucket_{b}.json"))
         assert m["status"] == "committed"
         assert m["n_postings"] > 0
 
@@ -74,7 +76,7 @@ def test_blocks_are_salted_ordered_disjoint(spark, built, index_dir):
     by (salt, block_seq) must have non-overlapping ascending
     [doc_id_lo, doc_id_hi] ranges — the property WAND's sequential
     merge relies on."""
-    segs = spark.read.parquet(f"{index_dir}/segments")
+    segs = SegmentIndex.open(spark, index_dir).segments()
     hot = (
         segs.groupBy("term")
         .agg(
@@ -95,6 +97,8 @@ def test_blocks_are_salted_ordered_disjoint(spark, built, index_dir):
                 f"term {key}: block ranges overlap or out of order"
             )
         prev[key] = r["doc_id_hi"]
+        # stored bounds are per-block maxima of the raw stats
+        assert r["max_tf"] >= 1 and r["min_dl"] >= 1
 
 
 def test_interrupted_build_resumes_without_recompute(spark, corpus_df, queries_df, tmp_path):
@@ -106,11 +110,12 @@ def test_interrupted_build_resumes_without_recompute(spark, corpus_df, queries_d
         spark, corpus, d, n_buckets=4, hot_df=8, block_size=16, buckets=[0, 1]
     )
     assert r1.built_buckets == [0, 1]
+    assert r1.snapshot_version is None  # not committed yet
     with pytest.raises(FileNotFoundError):
         SegmentIndex.open(spark, d)
 
     mtimes = {
-        b: os.path.getmtime(f"{d}/manifests/bucket_{b}.json") for b in (0, 1)
+        b: os.path.getmtime(f"{d}/manifests/init/bucket_{b}.json") for b in (0, 1)
     }
     r2 = build_segment_index(
         spark, corpus, d, n_buckets=4, hot_df=8, block_size=16, resume=True
@@ -118,8 +123,9 @@ def test_interrupted_build_resumes_without_recompute(spark, corpus_df, queries_d
     assert r2.phase_a_skipped
     assert r2.skipped_buckets == [0, 1]
     assert r2.built_buckets == [2, 3]
+    assert r2.snapshot_version == 1
     for b in (0, 1):  # committed buckets untouched
-        assert os.path.getmtime(f"{d}/manifests/bucket_{b}.json") == mtimes[b]
+        assert os.path.getmtime(f"{d}/manifests/init/bucket_{b}.json") == mtimes[b]
 
     seg = SegmentIndex.open(spark, d)
     got = segment_topk(seg, queries_df, k=K).orderBy("query_id", "rank").collect()
