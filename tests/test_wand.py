@@ -1,0 +1,56 @@
+"""Block-max WAND: exact top-k equality with the brute-force segment
+path, plus evidence that bound-gated block skipping actually skips."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.index_build import (
+    with_doc_id,
+)
+from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
+    SegmentIndex,
+    build_segment_index,
+    segment_topk,
+)
+from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.wand import (
+    wand_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def seg(spark, corpus_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("wandidx"))
+    corpus = with_doc_id(corpus_df)
+    # small blocks + low hot_df → many blocks per term → skippable work
+    build_segment_index(spark, corpus, d, n_buckets=4, hot_df=8, block_size=8)
+    return SegmentIndex.open(spark, d)
+
+
+@pytest.mark.parametrize("k", [1, 3, 10])
+def test_wand_equals_bruteforce(spark, seg, queries_df, k):
+    got = wand_topk(seg, queries_df, k=k).orderBy("query_id", "rank").collect()
+    want = segment_topk(seg, queries_df, k=k).orderBy("query_id", "rank").collect()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (g["query_id"], g["rank"], g["doc_id"]) == (
+            w["query_id"], w["rank"], w["doc_id"],
+        ), f"k={k}: {g} vs {w}"
+        assert math.isclose(g["score"], w["score"], rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_wand_prunes_blocks(spark, seg, queries_df):
+    rows = wand_topk(seg, queries_df, k=1).collect()
+    assert rows, "no results"
+    decoded = sum({r["query_id"]: r["blocks_decoded"] for r in rows}.values())
+    total = sum({r["query_id"]: r["blocks_total"] for r in rows}.values())
+    assert decoded < total, f"no pruning: decoded {decoded}/{total} blocks"
+
+
+def test_wand_oov_query_yields_nothing(spark, seg):
+    q = spark.createDataFrame(
+        [("qx", "zzqabsent wwqmissing")], "query_id string, text string"
+    )
+    assert wand_topk(seg, q, k=5).count() == 0
