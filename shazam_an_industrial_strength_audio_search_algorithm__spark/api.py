@@ -318,9 +318,494 @@ GROUP BY a.doc_id
 
 
 # ---------------------------------------------------------------------------
+# relational battery (SURVEY §2 generic operators over the TPC-H-ish
+# tables: scan+filter+agg, broadcast join, semi/anti join, window
+# top-n, set ops, rollup). Money sums use exact cents (BIGINT) so the
+# driver hash is float-order-proof.
+# ---------------------------------------------------------------------------
+def q_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan→filter→agg (SURVEY §2.4 A3/A5/A8)."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents("l_quantity")).alias("sum_qty_c"),
+            F.sum(cents("l_extendedprice")).alias("sum_base_c"),
+            F.sum(
+                (F.round(F.col("l_extendedprice") * 100).cast("long")
+                 * F.round((1 - F.col("l_discount")) * 100).cast("long"))
+            ).alias("sum_disc_c2"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+Q_SCAN_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS sum_disc_c2,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join with explicit broadcast of the small dims
+    (SURVEY §2.3 J1/J4): revenue cents per nation."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("revenue_c"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+Q_JOIN_REVENUE_SQL = """
+SELECT n_name,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_c,
+       count(*)::BIGINT AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join in one result (SURVEY §2.3 J1, F6/J5 analogs):
+    per-nation counts of customers with vs without orders."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_with_orders")
+    )
+    without = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_without_orders")
+    )
+    return (
+        cust.select("c_nationkey").distinct()
+        .join(with_orders, "c_nationkey", "left")
+        .join(without, "c_nationkey", "left")
+        .select(
+            "c_nationkey",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+Q_SEMI_ANTI_SQL = """
+WITH w AS (
+  SELECT c_nationkey, count(*)::BIGINT AS n_with_orders
+  FROM customer WHERE EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_nationkey
+), wo AS (
+  SELECT c_nationkey, count(*)::BIGINT AS n_without_orders
+  FROM customer WHERE NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_nationkey
+)
+SELECT c_nationkey,
+       COALESCE(n_with_orders, 0) AS n_with_orders,
+       COALESCE(n_without_orders, 0) AS n_without_orders
+FROM (SELECT DISTINCT c_nationkey FROM customer)
+LEFT JOIN w USING (c_nationkey)
+LEFT JOIN wo USING (c_nationkey)
+"""
+
+
+def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (SURVEY §2.5 W1/W5),
+    deterministic tie-break on o_orderkey."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_custkey", "rank", "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("totalprice_c"),
+        )
+    )
+
+
+Q_WINDOW_TOPN_SQL = """
+SELECT o_custkey, rank, o_orderkey, totalprice_c FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC
+         )::BIGINT AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-sets surface, SURVEY §2.4 note)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+        )
+    )
+
+
+Q_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       count(*)::BIGINT AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream window ops (SURVEY §2.5): per-user event sequence
+    number and gap-to-previous in seconds."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.coalesce(
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.unix_millis(F.lag("ts", 1).over(w).cast("timestamp")),
+            F.lit(-1),
+        ).alias("gap_ms"),
+    )
+
+
+Q_EVENTS_SESSION_SQL = """
+SELECT user_id, event_id,
+       row_number() OVER w::BIGINT AS seq,
+       COALESCE(epoch_ms(ts) - epoch_ms(lag(ts, 1) OVER w), -1) AS gap_ms
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (SURVEY §2.6): event types seen by low- vs
+    high-value events — intersect / except / union counts."""
+    ev = load(spark, sf_dir, "events")
+    lo = ev.filter(F.col("value") < 50).select("event_type")
+    hi = ev.filter(F.col("value") >= 50).select("event_type")
+    both = lo.intersect(hi).withColumn("set_op", F.lit("intersect"))
+    # EXCEPT (set semantics): distinct lo minus distinct hi
+    only_lo = lo.distinct().subtract(hi.distinct()).withColumn(
+        "set_op", F.lit("except_lo")
+    )
+    union_all = lo.union(hi).distinct().withColumn("set_op", F.lit("union"))
+    return (
+        both.unionByName(only_lo).unionByName(union_all)
+        .groupBy("set_op")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    )
+
+
+Q_SET_OPS_SQL = """
+WITH lo AS (SELECT event_type FROM events WHERE value < 50),
+     hi AS (SELECT event_type FROM events WHERE value >= 50),
+     r AS (
+       SELECT 'intersect' AS set_op, event_type
+       FROM (SELECT event_type FROM lo INTERSECT SELECT event_type FROM hi)
+       UNION ALL
+       SELECT 'except_lo', event_type
+       FROM (SELECT DISTINCT event_type FROM lo
+             EXCEPT SELECT DISTINCT event_type FROM hi)
+       UNION ALL
+       SELECT 'union', event_type
+       FROM (SELECT event_type FROM lo UNION SELECT event_type FROM hi)
+     )
+SELECT set_op, count(*)::BIGINT AS n_types FROM r GROUP BY set_op
+"""
+
+
+# ---------------------------------------------------------------------------
+# text-analysis battery (operators/text.py)
+# ---------------------------------------------------------------------------
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.text import (
+        with_lang_id,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_lang_id(docs).select("doc_id", "pred_lang")
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.text import (
+        with_quality,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_quality(docs).select(
+        "doc_id", "n_tokens", "mean_token_len_micro",
+        "stopword_ratio_micro", "alnum_ratio_micro",
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.text import (
+        with_fingerprint,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def _text_sql():
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.text import (
+        duckdb_fingerprint_sql,
+        duckdb_lang_id_sql,
+        duckdb_quality_sql,
+    )
+
+    q = duckdb_quality_sql("text")
+    quality_cols = ", ".join(f"{expr} AS {name}" for name, expr in q.items())
+    return {
+        "lang_id": (
+            f"SELECT doc_id, {duckdb_lang_id_sql('text')} AS pred_lang "
+            f"FROM documents"
+        ),
+        "quality": f"SELECT doc_id, {quality_cols} FROM documents",
+        "fingerprint": (
+            f"SELECT doc_id, {duckdb_fingerprint_sql('text')} AS fingerprint "
+            f"FROM documents"
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# dedup battery (operators/dedup.py)
+# ---------------------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dup groups over a 40-char prefix key (the raw documents
+    are all distinct — the prefix creates deterministic collisions in
+    both engines, exercising the same groupBy-digest plan)."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.dedup import (
+        exact_dup_groups,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("text")
+    )
+    return exact_dup_groups(docs).select(
+        "content_sha", "group_size", "canonical_id", "member_ids"
+    )
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT sha256(substr(text, 1, 40)) AS content_sha,
+       count(*)::BIGINT AS group_size,
+       min(doc_id) AS canonical_id,
+       list_sort(list(doc_id)) AS member_ids
+FROM documents
+GROUP BY sha256(substr(text, 1, 40))
+HAVING count(*) > 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+
+
+Q_NGRAM_JACCARD_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 1, 1)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         ))) AS shingle
+  FROM raw WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(round(n_common * 1000000.0 /
+            (sa.n_shingles + sb.n_shingles - n_common)) AS BIGINT)
+         AS jaccard_micro
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common * 1000000.0 / (sa.n_shingles + sb.n_shingles - n_common)
+      >= 120000 - 0.5
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified (no SQL oracle —
+    seeded numpy permutations aren't SQL; correctness is pinned by
+    tests/test_dedup.py against exact Jaccard)."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_lsh_pairs(docs, threshold=0.12)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only driver check; pinned by
+    pytest instead)."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_pairs(docs, max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# similarity battery (operators/similarity.py)
+# ---------------------------------------------------------------------------
+def _query_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < 3).select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, _query_vecs(spark, sf_dir), k=10)
+
+
+Q_ANN_COSINE_SQL = """
+WITH qs AS (
+  SELECT 'v' || vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  -- identical formula to the Spark plan (zip_with dot / norm*norm),
+  -- NOT list_cosine_similarity (its internal accumulation differs
+  -- enough to flip a micro-rounding boundary)
+  SELECT qs.query_id, e.vec_id,
+         CAST(round(
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qs.qvec[i] AS DOUBLE)))
+           * 1000000.0 /
+           (sqrt(list_sum(list_transform(e.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(qs.qvec,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         ) AS BIGINT) AS cosine_micro
+  FROM embeddings e CROSS JOIN qs
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine_micro,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine_micro DESC, vec_id ASC
+         )::BIGINT AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine_micro FROM ranked WHERE rank <= 10
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (approximate — rows-only driver check;
+    recall vs exact is pinned by tests/test_similarity.py)."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        lsh_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, _query_vecs(spark, sf_dir), k=10)
+
+
+# ---------------------------------------------------------------------------
+# multimodal battery (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.multimodal import (
+        extract_meta,
+        synth_media,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_meta(synth_media(docs))
+
+
+Q_MEDIA_META_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['img','aud','vid'][(doc_id % 3) + 1] AS kind,
+         ['img','aud','vid'][(doc_id % 3) + 1] || '0' || text AS s
+  FROM documents
+)
+SELECT media_id, kind,
+       octet_length(encode(s))::BIGINT AS n_bytes,
+       sha256(s) AS payload_sha,
+       substr(s, 1, 4) AS magic
+FROM m
+"""
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (rows-only; deterministic fake decode —
+    see operators/multimodal.py stubs)."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.multimodal import (
+        frame_sample,
+        synth_media,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return frame_sample(synth_media(docs), every_n_bytes=64, max_frames=4)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, callable] = {
+    # fulltext engine core
     "term_df": q_term_df,
     "doc_len": q_doc_len,
     "term_tf": q_term_tf,
@@ -328,6 +813,29 @@ QUERIES: dict[str, callable] = {
     "bm25_topk": q_bm25_topk,
     "match_or_nil": q_match_or_nil,
     "phrase_match": q_phrase_match,
+    # relational operators
+    "scan_agg": q_scan_agg,
+    "join_revenue": q_join_revenue,
+    "semi_anti": q_semi_anti,
+    "window_topn": q_window_topn,
+    "rollup": q_rollup,
+    "events_session": q_events_session,
+    "set_ops": q_set_ops,
+    # text analysis
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    # dedup
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    # similarity search
+    "ann_cosine": q_ann_cosine,
+    "ann_lsh": q_ann_lsh,
+    # multimodal plumbing
+    "media_meta": q_media_meta,
+    "media_frames": q_media_frames,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -338,4 +846,18 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk": Q_BM25_TOPK_SQL,
     "match_or_nil": Q_MATCH_OR_NIL_SQL,
     "phrase_match": Q_PHRASE_MATCH_SQL,
+    "scan_agg": Q_SCAN_AGG_SQL,
+    "join_revenue": Q_JOIN_REVENUE_SQL,
+    "semi_anti": Q_SEMI_ANTI_SQL,
+    "window_topn": Q_WINDOW_TOPN_SQL,
+    "rollup": Q_ROLLUP_SQL,
+    "events_session": Q_EVENTS_SESSION_SQL,
+    "set_ops": Q_SET_OPS_SQL,
+    "dedup_exact": Q_DEDUP_EXACT_SQL,
+    "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
+    "ann_cosine": Q_ANN_COSINE_SQL,
+    "media_meta": Q_MEDIA_META_SQL,
+    # minhash_lsh / simhash / ann_lsh / media_frames: seeded-hash or
+    # stub-backed ops — rows-only driver check; pinned by pytest.
 }
+ORACLE_SQL.update(_text_sql())

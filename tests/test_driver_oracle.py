@@ -28,11 +28,18 @@ def ddb():
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
     df = df.reindex(sorted(df.columns), axis=1)
-    # hash-stable value canon: floats rounded, ints as int64-compatible
+    # hash-stable value canon: floats rounded, list cells → tuples so
+    # sort_values can order array columns
     for c in df.columns:
         if df[c].dtype.kind == "f":
             df[c] = df[c].round(6)
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
     return (
         df.sort_values(by=list(df.columns), ignore_index=True)
         if len(df) else df

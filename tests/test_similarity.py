@@ -1,0 +1,84 @@
+"""Similarity search: exact cosine top-k sanity (self-query rank 1),
+LSH recall vs the exact baseline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+    cosine_topk,
+    lsh_topk,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def qs(spark, emb):
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+
+
+def test_exact_self_query_is_rank1(spark, emb, qs):
+    top = cosine_topk(emb, qs, k=3).filter(F.col("rank") == 1).collect()
+    for r in top:
+        assert f"v{r['vec_id']}" == r["query_id"]
+        assert r["cosine_micro"] == 1_000_000
+
+
+def test_lsh_recall_on_clustered_vectors(spark):
+    """Recall is only meaningful where near neighbors exist: the
+    driver's embeddings are uniform-random (top-10 cosines ≈ 0.3 —
+    nothing is 'near'), so recall is measured on clustered vectors.
+    Multi-probe sign-LSH must recover ≥ 80% of the exact top-10."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(5)
+    centers = rng.normal(size=(8, 32))
+    vecs, rows = [], []
+    for i in range(240):
+        c = centers[i % 8]
+        v = c + rng.normal(scale=0.15, size=32)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    qs = spark.createDataFrame(
+        pd.DataFrame(
+            [(f"c{j}", [float(x) for x in centers[j]]) for j in range(8)],
+            columns=["query_id", "qvec"],
+        )
+    )
+    k = 10
+    exact_sets, approx_sets = {}, {}
+    for r in cosine_topk(emb, qs, k=k).collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in lsh_topk(emb, qs, k=k, n_planes=10, probe_flips=1).collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(approx_sets.get(q, set()) & want) / len(want)
+        for q, want in exact_sets.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, f"mean recall {recalls}"
+
+
+def test_lsh_scores_are_exact_on_candidates(spark, emb, qs):
+    """LSH may miss candidates but must never mis-score one: every
+    (query, vec) it returns must carry the same cosine as the exact
+    path."""
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cosine_micro"]
+        for r in cosine_topk(emb, qs, k=500).collect()
+    }
+    for r in lsh_topk(emb, qs, k=10).collect():
+        key = (r["query_id"], r["vec_id"])
+        assert exact[key] == r["cosine_micro"], key
