@@ -1,0 +1,227 @@
+"""Benchmark harness.
+
+Default mode (what the per-round driver runs): headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``; prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "index_docs_per_sec": ..., "bm25_p50_ms": ..., ...}
+
+Headline suite = the engine's own pipeline (distributed synthetic
+corpus → resumable segment-index build → BM25 top-k via brute force
+AND block-max WAND) + the relational/training-data battery over the
+driver's parquet tables.
+
+Scaling mode (the north rule's two-cluster-size protocol, sandbox
+stand-in per BASELINE.md: local[8] vs local[32])::
+
+    python bench.py --scaling
+
+runs the identical build+query job on the identical input at both
+parallelism levels and writes throughputs + efficiency to
+``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+N_QUERIES = 64
+K = 10
+
+
+def _mk_spark(cores: int):
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.session import (
+        get_spark,
+    )
+
+    return get_spark("bench", cores=cores, shuffle_partitions=max(8, cores))
+
+
+def _bench_queries(spark, corpus):
+    """Deterministic query batch: verbatim windows + unique terms from
+    the corpus (same construction as the test fixtures, Spark-side)."""
+    from pyspark.sql import functions as F
+
+    qs = (
+        corpus.select("content")
+        .limit(N_QUERIES)
+        .select(
+            F.monotonically_increasing_id().alias("i"),
+            F.slice(F.split("content", " "), 5, 10).alias("w"),
+        )
+        .select(
+            F.concat(F.lit("q"), F.col("i")).alias("query_id"),
+            F.concat_ws(" ", "w").alias("text"),
+        )
+    )
+    return qs.cache()
+
+
+def run_engine_suite(spark, n_docs: int) -> dict[str, float]:
+    """Build + query the engine's own index; returns timings."""
+    from pyspark.sql import functions as F
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
+        SegmentIndex,
+        build_segment_index,
+        drop_index,
+        segment_topk,
+    )
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.wand import (
+        wand_topk,
+    )
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.sources.corpus import (
+        distributed_corpus,
+    )
+
+    out: dict[str, float] = {}
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    try:
+        t0 = time.monotonic()
+        corpus = distributed_corpus(spark, n_docs).cache()
+        n = corpus.count()  # materialize generation before timing build
+        out["corpus_gen"] = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        build_segment_index(
+            spark, corpus, idx_dir,
+            n_buckets=8, hot_df=2048, block_size=128,
+        )
+        out["index_build"] = time.monotonic() - t0
+        out["_index_docs_per_sec"] = n / out["index_build"]
+
+        queries = _bench_queries(spark, corpus)
+        nq = queries.count()
+        idx = SegmentIndex.open(spark, idx_dir)
+
+        t0 = time.monotonic()
+        segment_topk(idx, queries, k=K).collect()
+        out["bm25_topk_batch"] = time.monotonic() - t0
+        out["_bm25_per_query_ms"] = out["bm25_topk_batch"] / nq * 1000
+
+        t0 = time.monotonic()
+        wand_topk(idx, queries, k=K).collect()
+        out["wand_topk_batch"] = time.monotonic() - t0
+        out["_wand_per_query_ms"] = out["wand_topk_batch"] / nq * 1000
+
+        corpus.unpersist()
+        queries.unpersist()
+    finally:
+        drop_index(idx_dir)
+    return out
+
+
+def run_battery(spark, sf_dir: str) -> dict[str, float]:
+    """Time each driver-battery query (collect() to force execution)."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark import api
+
+    times = {}
+    for name, fn in api.QUERIES.items():
+        t0 = time.monotonic()
+        fn(spark, sf_dir).collect()
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def main_default() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = _mk_spark(cores)
+
+    t_total = time.monotonic()
+    engine = run_engine_suite(spark, BENCH_DOCS)
+    battery = run_battery(spark, sf_dir)
+    total = time.monotonic() - t_total
+
+    queries = {k: round(v, 3) for k, v in engine.items() if not k.startswith("_")}
+    queries.update(battery)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall-clock (index build + BM25/WAND "
+                          "top-k on synthetic corpus + 26-query battery)",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf_dir.rstrip("/").split("sf")[-1],
+                "bench_docs": BENCH_DOCS,
+                "cores": cores,
+                "index_docs_per_sec": round(engine["_index_docs_per_sec"], 1),
+                "bm25_p50_ms": round(engine["_bm25_per_query_ms"], 2),
+                "wand_p50_ms": round(engine["_wand_per_query_ms"], 2),
+            }
+        )
+    )
+
+
+def main_scaling() -> None:
+    """local[8] vs local[32] on the identical job+input (BASELINE.md
+    protocol; stands in for N vs 4N executors)."""
+    results = {}
+    for cores in (8, 32):
+        spark = _mk_spark(cores)
+        engine = run_engine_suite(spark, BENCH_DOCS)
+        results[cores] = engine
+        spark.stop()
+        # force a fresh JVM-backed session per parallelism level
+        from pyspark.sql import SparkSession
+
+        SparkSession._instantiatedSession = None  # noqa: SLF001
+
+    thr8 = results[8]["_index_docs_per_sec"]
+    thr32 = results[32]["_index_docs_per_sec"]
+    build_eff = (thr32 / thr8) / 4
+    q8 = N_QUERIES / results[8]["bm25_topk_batch"]
+    q32 = N_QUERIES / results[32]["bm25_topk_batch"]
+    query_eff = (q32 / q8) / 4
+
+    os.makedirs("BENCH", exist_ok=True)
+    lines = [
+        "# BENCH/BASELINE.md — measured numbers",
+        "",
+        f"Synthetic corpus: {BENCH_DOCS} docs (distributed deterministic "
+        "generator, seed 42), identical input at both parallelism levels.",
+        "",
+        "| metric | local[8] | local[32] | scaling efficiency (target ≥0.8) |",
+        "|---|---|---|---|",
+        f"| index build (docs/sec) | {thr8:.1f} | {thr32:.1f} | {build_eff:.3f} |",
+        f"| BM25 top-k batch (q/sec) | {q8:.2f} | {q32:.2f} | {query_eff:.3f} |",
+        "",
+        f"| phase | local[8] sec | local[32] sec |",
+        "|---|---|---|",
+    ]
+    for phase in ("corpus_gen", "index_build", "bm25_topk_batch",
+                  "wand_topk_batch"):
+        lines.append(
+            f"| {phase} | {results[8][phase]:.2f} | {results[32][phase]:.2f} |"
+        )
+    lines += [
+        "",
+        "Protocol per BASELINE.md: efficiency = (throughput@local[32] / "
+        "throughput@local[8]) / 4 — the sandbox stand-in for N vs 4N "
+        "executor clusters. Caveat: local mode shares one JVM/driver and "
+        "the page cache, so this under-reports true multi-node scaling "
+        "when the job is I/O- or driver-bound.",
+    ]
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({
+        "index_docs_per_sec": {"local8": round(thr8, 1), "local32": round(thr32, 1)},
+        "build_scaling_efficiency": round(build_eff, 3),
+        "query_scaling_efficiency": round(query_eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_default()

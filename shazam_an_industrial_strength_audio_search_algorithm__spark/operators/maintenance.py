@@ -44,7 +44,7 @@ from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segme
     _atomic_write_json,
     _write_current,
     bucket_col,
-    build_bucket_segments,
+    build_buckets_batch,
     read_snapshot,
 )
 
@@ -169,13 +169,15 @@ def apply_updates(
     n_docs, avgdl = params["n_docs"], params["avgdl"]
     base_snap = read_snapshot(index_dir, params["base_version"])
 
-    built, skipped = [], []
-    for b in affected:
-        if resume and os.path.exists(f"{mdir}/bucket_{b}.json"):
-            skipped.append(b)
-            continue
-        # updated doc_terms for this bucket = old minus removed + delta
-        dt = base.doc_terms([b]).drop("bucket")
+    skipped = [
+        b for b in affected
+        if resume and os.path.exists(f"{mdir}/bucket_{b}.json")
+    ]
+    built = [b for b in affected if b not in skipped]
+    if built:
+        # updated doc_terms for the batch = old minus removed + delta,
+        # written partitionBy(bucket) in one job
+        dt = base.doc_terms(built)
         if params["has_removed"]:
             dt = dt.join(
                 F.broadcast(spark.read.parquet(removed_path)),
@@ -184,21 +186,24 @@ def apply_updates(
         if params["has_delta"]:
             dt = dt.unionByName(
                 spark.read.parquet(dtdelta_path)
-                .filter(F.col("bucket") == b)
-                .drop("bucket")
+                .filter(F.col("bucket").isin(built))
+                .select(*dt.columns)
             )
-        dt_out = f"{index_dir}/data/dt_{gen}/bucket={b}"
-        dt.write.mode("overwrite").parquet(dt_out)
-        # re-attach bucket dir layout expected by build_bucket_segments
-        build_bucket_segments(
-            spark, index_dir, gen, b,
+        (
+            dt.repartition(max(1, len(built)), "bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(f"{index_dir}/data/dt_{gen}")
+        )
+        build_buckets_batch(
+            spark, index_dir, gen, built,
             dt_path=f"{index_dir}/data/dt_{gen}",
             avgdl=avgdl, n_docs=n_docs,
             hot_df=base_snap["hot_df"],
             max_salt_bits=base_snap["max_salt_bits"],
             block_size=base_snap["block_size"],
         )
-        built.append(b)
 
     done = all(
         os.path.exists(f"{mdir}/bucket_{b}.json") for b in affected

@@ -85,10 +85,10 @@ from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.index
 BLOCK_SIZE = 128
 SIGN_FLIP = -(2**63)  # XOR with the sign bit maps signed order to unsigned order
 
-BLOCK_SCHEMA = T.StructType(
+BLOCK_CORE_SCHEMA = T.StructType(
     [
+        T.StructField("bucket", T.IntegerType()),
         T.StructField("term", T.StringType()),
-        T.StructField("df", T.LongType()),
         T.StructField("salt", T.IntegerType()),
         T.StructField("block_seq", T.IntegerType()),
         T.StructField("doc_id_lo", T.LongType()),
@@ -127,11 +127,13 @@ def resolve_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> li
 
 
 def _encode_groups(avgdl: float, block_size: int):
-    """applyInPandas group encoder: one (term, df, salt) group of
-    postings → block rows, sorted by doc_id."""
+    """applyInPandas group encoder: one (bucket, term, salt) group of
+    postings → block rows, sorted by doc_id. ``df`` joins in after
+    (block rows are tiny compared to postings — attaching df via a
+    block-side join beats a full-row window over the postings)."""
 
     def fn(key, pdf: pd.DataFrame):
-        term, df, salt = key[0], int(key[1]), int(key[2])
+        bucket, term, salt = int(key[0]), key[1], int(key[2])
         order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
         ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
         tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
@@ -142,8 +144,8 @@ def _encode_groups(avgdl: float, block_size: int):
             e = min(s + block_size, len(ids))
             rows.append(
                 {
+                    "bucket": bucket,
                     "term": term,
-                    "df": df,
                     "salt": salt,
                     "block_seq": seq,
                     "doc_id_lo": int(ids[s]),
@@ -187,11 +189,11 @@ def read_snapshot(index_dir: str, version: int | None = None) -> dict:
     return snap
 
 
-def build_bucket_segments(
+def build_buckets_batch(
     spark: SparkSession,
     index_dir: str,
     gen: str,
-    bucket: int,
+    buckets: list[int],
     dt_path: str,
     avgdl: float,
     n_docs: int,
@@ -199,24 +201,38 @@ def build_bucket_segments(
     max_salt_bits: int,
     block_size: int,
 ) -> None:
-    """One bucket: doc_terms → salted, block-encoded segments +
-    atomic manifest. Idempotent (overwrite + manifest-last)."""
-    bucket_dt = spark.read.parquet(dt_path).filter(
-        F.col("bucket") == bucket
-    ).select("term", "doc_id", "tf", "doc_len")
-    # global df (bucket-local == global: bucket is a function of term)
-    with_df = bucket_dt.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    """Build segments for a batch of buckets in ONE Spark job, then
+    commit each bucket's manifest (idempotent: dynamic partition
+    overwrite + manifest-last).
+
+    Plan: (1) count-only df agg per (bucket, term) — map-side partial
+    aggregation, only counts shuffle; (2) hot terms (df > hot_df,
+    a tiny set by Zipf) broadcast back onto the postings to assign
+    doc-id-range salts; (3) the one heavy shuffle:
+    groupBy(bucket, term, salt) → applyInPandas block encode;
+    (4) df attaches to the BLOCK rows (≈ postings/block_size rows —
+    far cheaper than windowing df over raw postings); (5) write
+    partitionBy(bucket), overwriting only the touched partitions.
+    """
+    if not buckets:
+        return
+    dt = (
+        spark.read.parquet(dt_path)
+        .filter(F.col("bucket").isin(buckets))
+        .select("bucket", "term", "doc_id", "tf", "doc_len")
     )
-    # df-driven salt fan-out: hot terms split by doc_id range so
-    # per-(term, salt) groups are disjoint AND ordered
+    term_df = dt.groupBy("bucket", "term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    hot = term_df.filter(F.col("df") > hot_df).withColumnRenamed("df", "hot_term_df")
     salted = (
-        with_df.withColumn(
+        dt.join(F.broadcast(hot), ["bucket", "term"], "left")
+        .withColumn(
             "salt_bits",
             F.when(
-                F.col("df") > hot_df,
+                F.col("hot_term_df").isNotNull(),
                 F.least(
-                    F.ceil(F.log2(F.col("df") / F.lit(float(hot_df)))),
+                    F.ceil(F.log2(F.col("hot_term_df") / F.lit(float(hot_df)))),
                     F.lit(max_salt_bits),
                 ),
             )
@@ -231,34 +247,47 @@ def build_bucket_segments(
                 F.expr("CAST(shiftrightunsigned(flipped, 64 - salt_bits) AS INT)"),
             ).otherwise(F.lit(0)),
         )
-        .drop("salt_bits", "flipped")
+        .drop("salt_bits", "flipped", "hot_term_df")
     )
-    blocks = salted.groupBy("term", "df", "salt").applyInPandas(
-        _encode_groups(avgdl, block_size), schema=BLOCK_SCHEMA
+    blocks = salted.groupBy("bucket", "term", "salt").applyInPandas(
+        _encode_groups(avgdl, block_size), schema=BLOCK_CORE_SCHEMA
     )
-    out = f"{index_dir}/data/seg_{gen}/bucket={bucket}"
-    blocks.write.mode("overwrite").parquet(out)
-    stats = (
-        spark.read.parquet(out)
+    out = blocks.join(term_df, ["bucket", "term"]).select(
+        "bucket", "term", "df", "salt", "block_seq", "doc_id_lo",
+        "doc_id_hi", "n_docs", "max_tf", "min_dl", "max_tfnorm", "payload",
+    )
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/data/seg_{gen}")
+    )
+    stats = {
+        r["bucket"]: r
+        for r in spark.read.parquet(f"{index_dir}/data/seg_{gen}")
+        .filter(F.col("bucket").isin(buckets))
+        .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_blocks"),
             F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_postings"),
             F.countDistinct("term").alias("n_terms"),
         )
-        .collect()[0]
-    )
-    _atomic_write_json(
-        f"{index_dir}/manifests/{gen}/bucket_{bucket}.json",
-        {
-            "bucket": bucket,
-            "gen": gen,
-            "n_blocks": int(stats["n_blocks"]),
-            "n_postings": int(stats["n_postings"]),
-            "n_terms": int(stats["n_terms"]),
-            "n_docs_corpus": n_docs,
-            "status": "committed",
-        },
-    )
+        .collect()
+    }
+    for b in buckets:
+        s = stats.get(b)
+        _atomic_write_json(
+            f"{index_dir}/manifests/{gen}/bucket_{b}.json",
+            {
+                "bucket": b,
+                "gen": gen,
+                "n_blocks": int(s["n_blocks"]) if s else 0,
+                "n_postings": int(s["n_postings"]) if s else 0,
+                "n_terms": int(s["n_terms"]) if s else 0,
+                "n_docs_corpus": n_docs,
+                "status": "committed",
+            },
+        )
 
 
 @dataclass
@@ -342,16 +371,15 @@ def build_segment_index(
     n_buckets, avgdl = params["n_buckets"], params["avgdl"]
 
     todo = list(range(n_buckets)) if buckets is None else list(buckets)
-    built, skipped = [], []
-    for b in todo:
-        if resume and os.path.exists(f"{index_dir}/manifests/{gen}/bucket_{b}.json"):
-            skipped.append(b)
-            continue
-        build_bucket_segments(
-            spark, index_dir, gen, b, dt_path, avgdl, params["n_docs"],
-            params["hot_df"], params["max_salt_bits"], params["block_size"],
-        )
-        built.append(b)
+    skipped = [
+        b for b in todo
+        if resume and os.path.exists(f"{index_dir}/manifests/{gen}/bucket_{b}.json")
+    ]
+    built = [b for b in todo if b not in skipped]
+    build_buckets_batch(
+        spark, index_dir, gen, built, dt_path, avgdl, params["n_docs"],
+        params["hot_df"], params["max_salt_bits"], params["block_size"],
+    )
 
     done = all(
         os.path.exists(f"{index_dir}/manifests/{gen}/bucket_{b}.json")
@@ -463,18 +491,42 @@ class SegmentIndex:
     def n_buckets(self) -> int:
         return self.snapshot["n_buckets"]
 
+    def _empty(self, kind: str) -> DataFrame:
+        if kind == "segments":
+            schema = T.StructType(
+                [T.StructField("df", T.LongType())]
+                + [f for f in BLOCK_CORE_SCHEMA.fields if f.name != "bucket"]
+                + [T.StructField("bucket", T.IntegerType())]
+            )
+        else:
+            schema = T.StructType(
+                [
+                    T.StructField("term", T.StringType()),
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("tf", T.IntegerType()),
+                    T.StructField("positions", T.ArrayType(T.IntegerType())),
+                    T.StructField("doc_len", T.IntegerType()),
+                    T.StructField("bucket", T.IntegerType()),
+                ]
+            )
+        return self.spark.createDataFrame([], schema)
+
     def _read_buckets(self, kind: str, buckets: list[int] | None) -> DataFrame:
         """Union of per-bucket parquet scans with the bucket id
         re-attached. Path selection IS the partition pruning — after
         updates, different buckets live in different generations, so
-        pruning by explicit path beats directory-discovery."""
+        pruning by explicit path beats directory-discovery. Buckets
+        that ended up empty (no file written) read as empty frames."""
         bs = list(range(self.n_buckets)) if buckets is None else list(buckets)
-        dfs = [
-            self.spark.read.parquet(
-                f"{self.index_dir}/{self.snapshot['buckets'][str(b)][kind]}"
-            ).withColumn("bucket", F.lit(b))
-            for b in bs
-        ]
+        dfs = []
+        for b in bs:
+            path = f"{self.index_dir}/{self.snapshot['buckets'][str(b)][kind]}"
+            if os.path.exists(path):
+                dfs.append(
+                    self.spark.read.parquet(path).withColumn("bucket", F.lit(b))
+                )
+        if not dfs:
+            return self._empty(kind)
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)

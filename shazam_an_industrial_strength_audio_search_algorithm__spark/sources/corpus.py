@@ -130,6 +130,53 @@ def make_queries(corpus: pd.DataFrame, n_queries: int = 30, seed: int = 44,
     )
 
 
+def distributed_corpus(spark, n_docs: int, seed: int = 42,
+                       min_len: int = 50, max_len: int = 2000,
+                       partitions: int | None = None):
+    """Spark-distributed deterministic corpus generator (bench scale).
+
+    Same schema and distributional shape as ``make_corpus`` but
+    generated in parallel with ``mapInPandas``: each doc's tokens come
+    from ``RandomState(seed ^ doc_index)`` so the output is identical
+    regardless of partitioning or core count — the property the
+    scaling benchmark depends on (same input at local[8] and
+    local[32]).
+    """
+    import pandas as _pd
+    from pyspark.sql import functions as F
+
+    vocab, probs = _vocab(), _zipf_probs()
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"].astype(int):
+                rng = np.random.RandomState((seed ^ (d * 2654435761)) % (2**31))
+                repo = f"org{d % 7}/repo{d % 97}"
+                lang = LANGS[d % len(LANGS)]
+                path = f"src/mod{d % 13}/file{d}.{lang}"
+                commit = hashlib.sha256(
+                    f"{repo}:{path}:rev0".encode()
+                ).hexdigest()[:40]
+                n_tok = int(rng.randint(min_len, max_len + 1))
+                toks = list(vocab[rng.choice(VOCAB_SIZE, size=n_tok, p=probs)])
+                uniq = f"uniq{d:07d}doc"
+                for _ in range(3):
+                    toks[int(rng.randint(0, len(toks)))] = uniq
+                rows.append((repo, path, commit, lang, " ".join(toks)))
+            yield _pd.DataFrame(
+                rows, columns=["repo", "path", "commit", "lang", "content"]
+            )
+
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_docs, numPartitions=parts)
+    return base.mapInPandas(
+        gen,
+        schema="repo string, path string, commit string, lang string, "
+               "content string",
+    )
+
+
 def with_sha(corpus: pd.DataFrame) -> pd.DataFrame:
     """Attach the per-row integrity invariant ``content_sha`` —
     the analog of the reference's decode-must-succeed check
