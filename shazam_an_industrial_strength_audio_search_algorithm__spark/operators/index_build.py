@@ -78,6 +78,16 @@ def dedup_last_wins(corpus: DataFrame) -> DataFrame:
     )
 
 
+DOC_TERM_TF_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("tf", T.IntegerType()),
+        ]
+    )
+)
+
+
 @F.pandas_udf(DOC_TERM_STATS_SCHEMA)
 def doc_term_stats_udf(texts: pd.Series) -> pd.Series:
     """content → [(term, tf, positions)] per doc. Arrow-batched, pure
@@ -97,30 +107,51 @@ def doc_term_stats_udf(texts: pd.Series) -> pd.Series:
     return texts.map(stats)
 
 
+@F.pandas_udf(DOC_TERM_TF_SCHEMA)
+def doc_term_tf_udf(texts: pd.Series) -> pd.Series:
+    """content → [(term, tf)] per doc — the positions-free fast path
+    (Counter is C-speed; no per-token Python loop, ~3× lighter Arrow
+    payload, and the parquet doc_terms shrinks accordingly)."""
+    from collections import Counter
+
+    def stats(text):
+        return [
+            {"term": t, "tf": c} for t, c in Counter(tokenize_py(text)).items()
+        ]
+
+    return texts.map(stats)
+
+
 def build_doc_terms(corpus: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "content") -> DataFrame:
-    """corpus → doc_terms(doc_id, term, tf, positions, doc_len).
+                    text_col: str = "content",
+                    with_positions: bool = True) -> DataFrame:
+    """corpus → doc_terms(doc_id, term, tf[, positions], doc_len).
 
     Zero-shuffle: one projection + one explode. ``doc_len`` = total
     token count (BM25 length-normalization input, ↔ ``max_time``).
     Empty docs vanish here; surface them with ``unindexed_docs``.
+    ``with_positions=False`` is the index-build fast path — BM25 needs
+    only tf; positions are for phrase/proximity verification.
     """
+    udf = doc_term_stats_udf if with_positions else doc_term_tf_udf
     stats = corpus.select(
         F.col(id_col).alias("doc_id"),
-        doc_term_stats_udf(F.col(text_col)).alias("stats"),
+        udf(F.col(text_col)).alias("stats"),
     )
+    cols = [
+        "doc_id",
+        F.col("s.term").alias("term"),
+        F.col("s.tf").alias("tf"),
+    ]
+    if with_positions:
+        cols.append(F.col("s.positions").alias("positions"))
+    cols.append(F.col("doc_len"))
     return (
         stats.withColumn(
             "doc_len", F.aggregate("stats", F.lit(0), lambda a, s: a + s["tf"])
         )
         .select("doc_id", "doc_len", F.explode("stats").alias("s"))
-        .select(
-            "doc_id",
-            F.col("s.term").alias("term"),
-            F.col("s.tf").alias("tf"),
-            F.col("s.positions").alias("positions"),
-            "doc_len",
-        )
+        .select(*cols)
     )
 
 

@@ -108,11 +108,13 @@ def apply_updates(
             removed = removed.distinct()
             removed.write.mode("overwrite").parquet(removed_path)
 
-        # --- delta doc_terms for added docs ----------------------------
+        # --- delta doc_terms for added docs (schema must match the
+        # base snapshot's doc_terms: positions present or not) --------
         if add_corpus is not None:
-            delta = build_doc_terms(add_corpus).withColumn(
-                "bucket", bucket_col(F.col("term"), base.n_buckets)
-            )
+            delta = build_doc_terms(
+                add_corpus,
+                with_positions=base.snapshot.get("store_positions", False),
+            ).withColumn("bucket", bucket_col(F.col("term"), base.n_buckets))
             delta.write.mode("overwrite").parquet(dtdelta_path)
 
         # --- affected buckets ------------------------------------------
@@ -226,6 +228,7 @@ def apply_updates(
                 "block_size": base_snap["block_size"],
                 "hot_df": base_snap["hot_df"],
                 "max_salt_bits": base_snap["max_salt_bits"],
+                "store_positions": base_snap.get("store_positions", False),
                 "doc_lens": f"data/dl_{gen}",
                 "buckets": buckets_map,
                 "parent": params["base_version"],

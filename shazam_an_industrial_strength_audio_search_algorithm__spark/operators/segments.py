@@ -249,8 +249,16 @@ def build_buckets_batch(
         )
         .drop("salt_bits", "flipped", "hot_term_df")
     )
-    blocks = salted.groupBy("bucket", "term", "salt").applyInPandas(
-        _encode_groups(avgdl, block_size), schema=BLOCK_CORE_SCHEMA
+    # pin the shuffle width: AQE coalesces by BYTES, but the encode
+    # stage is CPU-bound Python — letting it coalesce to a handful of
+    # partitions serializes the codec. Explicit repartition on the
+    # grouping keys satisfies the groupBy's distribution (no second
+    # shuffle) and keeps every core busy.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    blocks = (
+        salted.repartition(n_part, "bucket", "term", "salt")
+        .groupBy("bucket", "term", "salt")
+        .applyInPandas(_encode_groups(avgdl, block_size), schema=BLOCK_CORE_SCHEMA)
     )
     out = blocks.join(term_df, ["bucket", "term"]).select(
         "bucket", "term", "df", "salt", "block_seq", "doc_id_lo",
@@ -298,6 +306,7 @@ class BuildReport:
     n_docs: int
     avgdl: float
     snapshot_version: int | None  # None while incomplete (buckets pending)
+    timings: dict | None = None  # per-phase wall clock (seconds)
 
 
 def build_segment_index(
@@ -312,6 +321,8 @@ def build_segment_index(
     id_col: str = "doc_id",
     text_col: str = "content",
     buckets: list[int] | None = None,
+    phase_a_shuffle: bool = False,
+    store_positions: bool = False,
 ) -> BuildReport:
     """Initial build (snapshot v1), two-phase and resumable.
 
@@ -323,6 +334,9 @@ def build_segment_index(
     ``buckets`` limits phase B to a subset (tests use it to simulate
     an interrupted build; a real deployment passes None).
     """
+    import time as _time
+
+    timings: dict[str, float] = {}
     gen = "init"
     if id_col == "doc_id" and "doc_id" not in corpus.columns:
         corpus = with_doc_id(corpus)
@@ -334,19 +348,34 @@ def build_segment_index(
     dl_path = f"{index_dir}/data/dl_{gen}"
     phase_a_done = resume and os.path.exists(params_path)
     if not phase_a_done:
-        dt = build_doc_terms(corpus, id_col, text_col).withColumn(
-            "bucket", bucket_col(F.col("term"), n_buckets)
-        )
+        _t0 = _time.monotonic()
+        dt = build_doc_terms(
+            corpus, id_col, text_col, with_positions=store_positions
+        ).withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+        if phase_a_shuffle:
+            # consolidate to one file set per bucket — enable when
+            # n_buckets × task-count would explode the file count
+            # (large clusters); costs a full shuffle of doc_terms
+            dt = dt.repartition(n_buckets, "bucket")
         (
-            dt.repartition(n_buckets, "bucket")
-            .write.mode("overwrite")
+            dt.write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(dt_path)
         )
+        timings["phase_a_doc_terms"] = _time.monotonic() - _t0
+        _t0 = _time.monotonic()
+        # doc_lens straight off the corpus — narrow (JVM tokenizer),
+        # no re-read of doc_terms, no shuffle
+        from shazam_an_industrial_strength_audio_search_algorithm__spark.functions.tokenize import (
+            tokens_col,
+        )
+
         (
-            spark.read.parquet(dt_path)
-            .groupBy("doc_id")
-            .agg(F.first("doc_len").alias("doc_len"))
+            corpus.select(
+                F.col(id_col).alias("doc_id"),
+                F.size(tokens_col(text_col)).alias("doc_len"),
+            )
+            .filter(F.col("doc_len") > 0)
             .write.mode("overwrite")
             .parquet(dl_path)
         )
@@ -355,6 +384,7 @@ def build_segment_index(
             .agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl"))
             .collect()[0]
         )
+        timings["phase_a_doc_lens"] = _time.monotonic() - _t0
         _atomic_write_json(
             params_path,
             {
@@ -364,6 +394,7 @@ def build_segment_index(
                 "block_size": block_size,
                 "hot_df": hot_df,
                 "max_salt_bits": max_salt_bits,
+                "store_positions": store_positions,
                 "format_version": 2,
             },
         )
@@ -376,10 +407,12 @@ def build_segment_index(
         if resume and os.path.exists(f"{index_dir}/manifests/{gen}/bucket_{b}.json")
     ]
     built = [b for b in todo if b not in skipped]
+    _t0 = _time.monotonic()
     build_buckets_batch(
         spark, index_dir, gen, built, dt_path, avgdl, params["n_docs"],
         params["hot_df"], params["max_salt_bits"], params["block_size"],
     )
+    timings["phase_b_segments"] = _time.monotonic() - _t0
 
     done = all(
         os.path.exists(f"{index_dir}/manifests/{gen}/bucket_{b}.json")
@@ -397,6 +430,7 @@ def build_segment_index(
                 "block_size": params["block_size"],
                 "hot_df": params["hot_df"],
                 "max_salt_bits": params["max_salt_bits"],
+                "store_positions": params.get("store_positions", False),
                 "doc_lens": f"data/dl_{gen}",
                 "buckets": {
                     str(b): {
@@ -417,6 +451,7 @@ def build_segment_index(
         n_docs=params["n_docs"],
         avgdl=avgdl,
         snapshot_version=version,
+        timings=timings,
     )
 
 
@@ -499,16 +534,20 @@ class SegmentIndex:
                 + [T.StructField("bucket", T.IntegerType())]
             )
         else:
-            schema = T.StructType(
-                [
-                    T.StructField("term", T.StringType()),
-                    T.StructField("doc_id", T.LongType()),
-                    T.StructField("tf", T.IntegerType()),
-                    T.StructField("positions", T.ArrayType(T.IntegerType())),
-                    T.StructField("doc_len", T.IntegerType()),
-                    T.StructField("bucket", T.IntegerType()),
-                ]
-            )
+            fields = [
+                T.StructField("term", T.StringType()),
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("tf", T.IntegerType()),
+            ]
+            if self.snapshot.get("store_positions", False):
+                fields.append(
+                    T.StructField("positions", T.ArrayType(T.IntegerType()))
+                )
+            fields += [
+                T.StructField("doc_len", T.IntegerType()),
+                T.StructField("bucket", T.IntegerType()),
+            ]
+            schema = T.StructType(fields)
         return self.spark.createDataFrame([], schema)
 
     def _read_buckets(self, kind: str, buckets: list[int] | None) -> DataFrame:
@@ -553,7 +592,11 @@ class SegmentIndex:
         return self.segments(buckets).filter(F.col("term").isin(terms))
 
     def postings_for_terms(self, terms: list[str]) -> DataFrame:
-        return self.blocks_for_terms(terms).mapInPandas(
+        # spread the decode: compressed blocks are few MB (file-packing
+        # would scan them in 1-2 partitions) but varint decode is
+        # CPU-bound — a cheap round-robin repartition parallelizes it
+        n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        return self.blocks_for_terms(terms).repartition(n_part).mapInPandas(
             _decode_partition, schema=DECODED_SCHEMA
         )
 

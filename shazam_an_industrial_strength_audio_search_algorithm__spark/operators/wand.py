@@ -262,4 +262,14 @@ def wand_topk(
             }
         )
 
-    return per_query.groupBy("query_id").applyInPandas(run, schema=RESULT_SCHEMA)
+    # pin parallelism: the WAND loop is CPU-bound Python per query —
+    # don't let AQE coalesce the (small-bytes) shuffle under the core
+    # count and serialize it
+    n_part = int(
+        index.spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    return (
+        per_query.repartition(n_part, "query_id")
+        .groupBy("query_id")
+        .applyInPandas(run, schema=RESULT_SCHEMA)
+    )

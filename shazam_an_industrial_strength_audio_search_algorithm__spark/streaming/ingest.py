@@ -1,0 +1,103 @@
+"""Streaming index ingestion — the optional extension of the
+reference's batch-incremental maintenance (SURVEY §1.6, §2.8: the
+reference has no streaming; its ``Hashing_update.py`` add/delete is a
+manual batch step).
+
+Design: a file-source stream of corpus rows feeds ``foreachBatch``;
+each micro-batch applies the SAME snapshot-committing upsert as batch
+maintenance (``operators/maintenance.apply_updates``). Exactly-once
+comes from the pairing of (a) Structured Streaming's checkpointed
+source offsets and (b) idempotent snapshot commits — a replayed batch
+re-runs ``apply_updates`` with identical inputs, rewrites the same
+affected buckets, and lands on an identical snapshot (upsert is
+idempotent by key).
+
+Also included: a watermarked event-time aggregation
+(``streaming_term_counts``) showing the engine's term statistics
+maintained continuously — watermark + window + groupBy, the canonical
+late-data-tolerant shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from shazam_an_industrial_strength_audio_search_algorithm__spark.functions.tokenize import (
+    tokens_col,
+)
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def stream_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Ingest corpus parquet files appearing under ``source_dir`` into
+    the segment index at ``index_dir`` (which must already hold a
+    committed snapshot — build the initial index first).
+
+    Returns the StreamingQuery. With ``trigger_available_now`` the
+    query drains everything currently available and stops (the batch
+    test/replay mode); otherwise it runs continuously.
+    """
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.maintenance import (
+        apply_updates,
+    )
+
+    reader = spark.readStream.schema(CORPUS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_updates(spark, index_dir, add_corpus=batch_df)
+
+    writer = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_term_counts(
+    events: DataFrame,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuous per-window term frequencies with late-data handling:
+    watermark + tumbling event-time window + explode(tokens) +
+    count — the streaming twin of the batch ``term_stats`` agg.
+    Attach to any streaming DataFrame with (ts, text) columns."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy(F.window(ts_col, window_duration).alias("win"), "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "term",
+            "tf",
+        )
+    )

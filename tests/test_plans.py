@@ -1,0 +1,80 @@
+"""Plan audits (SURVEY §4): the physical properties the 100 TB design
+depends on must hold and stay held — filter pushdown to parquet,
+column pruning, broadcast of the query side, bounded shuffle counts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shazam_an_industrial_strength_audio_search_algorithm__spark.plans.audit import (
+    audit,
+    count_shuffles,
+    has_broadcast_join,
+    pushed_filters,
+    read_schemas,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_filter_pushdown_and_pruning(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= "1996-01-01")
+        .select("l_orderkey", "l_quantity")
+    )
+    a = audit(df)
+    assert any("l_shipdate" in f for f in a["pushed_filters"]), a
+    # column pruning: scan must read only the 3 needed columns
+    assert all(
+        "l_extendedprice" not in s and "l_comment" not in s
+        for s in a["read_schemas"]
+    ), a
+
+
+def test_bm25_query_side_is_broadcast(spark):
+    from shazam_an_industrial_strength_audio_search_algorithm__spark import api
+
+    df = api.q_bm25_topk(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_segment_query_plan(spark, corpus_df, tmp_path):
+    """Segment top-k: term predicate reaches the parquet scan; the
+    query side broadcasts; shuffle count stays bounded (decode
+    spread + score agg + window — no accidental extra exchanges)."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.index_build import (
+        with_doc_id,
+    )
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
+        SegmentIndex,
+        build_segment_index,
+        segment_topk,
+    )
+
+    d = str(tmp_path / "planidx")
+    build_segment_index(spark, with_doc_id(corpus_df), d, n_buckets=4,
+                        hot_df=8, block_size=16)
+    idx = SegmentIndex.open(spark, d)
+    q = spark.createDataFrame(
+        [("q0", "tok0001 tok0002 uniq00003doc")], "query_id string, text string"
+    )
+    df = segment_topk(idx, q, k=5)
+    assert any("term" in f for f in pushed_filters(df)), pushed_filters(df)
+    assert has_broadcast_join(df)
+    # exactly: decode-spread repartition + score groupBy + rank window
+    assert count_shuffles(df) <= 3, count_shuffles(df)
+
+
+def test_narrow_ops_have_no_shuffle(spark):
+    """Text-analysis operators must be pure projections."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.text import (
+        with_fingerprint,
+        with_lang_id,
+        with_quality,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    for op in (with_lang_id, with_quality, with_fingerprint):
+        assert count_shuffles(op(docs)) == 0, op.__name__

@@ -1,0 +1,96 @@
+"""Streaming ingestion: corpus files appearing in a directory flow
+through foreachBatch into snapshot-committing upserts; the index is
+queryable and rank-correct after the stream drains. Plus the
+watermarked streaming term-count aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.index_build import (
+    with_doc_id,
+)
+from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
+    SegmentIndex,
+    build_segment_index,
+    segment_topk,
+)
+from shazam_an_industrial_strength_audio_search_algorithm__spark.streaming.ingest import (
+    stream_ingest,
+    streaming_term_counts,
+)
+
+
+def test_stream_ingest_upserts_index(spark, corpus_pdf, tmp_path):
+    # initial index over the first 30 docs
+    base = spark.createDataFrame(corpus_pdf.iloc[:30])
+    idx_dir = str(tmp_path / "sidx")
+    build_segment_index(spark, with_doc_id(base), idx_dir, n_buckets=4,
+                        hot_df=8, block_size=16)
+
+    # 2 parquet drops: docs 30-39, then 40-49 + one overwrite of doc 0
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(corpus_pdf.iloc[30:40]).write.mode("append").parquet(src)
+    over = corpus_pdf.iloc[[0]].copy()
+    over["content"] = "streamed overwrite marker streamedmark streamedmark"
+    batch2 = __import__("pandas").concat([corpus_pdf.iloc[40:50], over])
+    spark.createDataFrame(batch2).write.mode("append").parquet(src)
+
+    q = stream_ingest(spark, src, idx_dir, ckpt, trigger_available_now=True,
+                      max_files_per_trigger=2)
+    q.awaitTermination(300)
+
+    idx = SegmentIndex.open(spark, idx_dir)
+    assert idx.n_docs == 50  # 30 + 20 new, overwrite doesn't grow N
+    assert idx.version >= 2
+
+    # streamed-in docs are searchable
+    probe = spark.createDataFrame(
+        [("qs", "uniq00045doc"), ("qo", "streamedmark")],
+        "query_id string, text string",
+    )
+    hits = {r["query_id"]: r for r in
+            segment_topk(idx, probe, k=1).collect()}
+    assert "qs" in hits and "qo" in hits
+
+    # exactly-once on restart: re-running the drained stream must not
+    # change the snapshot
+    v_before = idx.version
+    q2 = stream_ingest(spark, src, idx_dir, ckpt, trigger_available_now=True)
+    q2.awaitTermination(300)
+    assert SegmentIndex.open(spark, idx_dir).version == v_before
+
+
+def test_streaming_term_counts_with_watermark(spark, tmp_path):
+    """Drive the watermarked window agg through a file stream with an
+    out-of-order (late but in-watermark) row; counts must match the
+    batch equivalent."""
+    import pandas as pd
+
+    src = str(tmp_path / "ev")
+    rows = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:05", "2024-01-01 00:00:20",
+                 "2024-01-01 00:01:10", "2024-01-01 00:00:40"]  # last is late
+            ),
+            "text": ["spark join", "join merge", "spark spark", "join"],
+        }
+    )
+    spark.createDataFrame(rows).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("ts timestamp, text string").parquet(src)
+    out = streaming_term_counts(stream, "1 minute", "2 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("tc")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (str(r["window_start"]), r["term"]): r["tf"]
+        for r in spark.sql("SELECT * FROM tc").collect()
+    }
+    assert got[("2024-01-01 00:00:00", "join")] == 3  # late row included
+    assert got[("2024-01-01 00:00:00", "spark")] == 1
+    assert got[("2024-01-01 00:01:00", "spark")] == 2
