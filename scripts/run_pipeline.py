@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the full pipeline (north rule: the
+whole pipeline runs via ``spark-submit --py-files`` on multi-executor
+clusters).
+
+Package the engine once::
+
+    cd /root/repo && zip -qr /tmp/engine.zip \
+        shazam_an_industrial_strength_audio_search_algorithm__spark
+
+Build an index::
+
+    spark-submit --py-files /tmp/engine.zip scripts/run_pipeline.py \
+        build --corpus /data/corpus_parquet --index /data/index \
+        --n-buckets 512 [--resume]
+
+Incremental maintenance::
+
+    spark-submit --py-files /tmp/engine.zip scripts/run_pipeline.py \
+        update --index /data/index --add /data/new_docs_parquet \
+        [--delete /data/delete_keys_parquet]
+
+Query (batch of queries from a parquet/csv with query_id, text)::
+
+    spark-submit --py-files /tmp/engine.zip scripts/run_pipeline.py \
+        query --index /data/index --queries /data/queries.parquet \
+        --out /data/results --k 10 [--threshold 2.0] [--wand]
+
+Rollback::
+
+    spark-submit --py-files /tmp/engine.zip scripts/run_pipeline.py \
+        restore --index /data/index --version 3
+
+On a cluster, drop the ``local[*]`` session default by passing
+``--master``/executor confs to spark-submit as usual — this script
+only calls ``SparkSession.builder.getOrCreate()`` and inherits them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName("shazam_spark_pipeline")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="run_pipeline")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--n-buckets", type=int, default=64)
+    b.add_argument("--hot-df", type=int, default=2048)
+    b.add_argument("--block-size", type=int, default=128)
+    b.add_argument("--resume", action="store_true")
+    b.add_argument("--store-positions", action="store_true")
+
+    u = sub.add_parser("update")
+    u.add_argument("--index", required=True)
+    u.add_argument("--add")
+    u.add_argument("--delete")
+    u.add_argument("--resume", action="store_true")
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--queries", required=True)
+    q.add_argument("--out", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--threshold", type=float, default=None)
+    q.add_argument("--wand", action="store_true")
+
+    r = sub.add_parser("restore")
+    r.add_argument("--index", required=True)
+    r.add_argument("--version", type=int, required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "restore":
+        from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.maintenance import (
+            restore,
+        )
+
+        restore(args.index, args.version)
+        print(f"CURRENT -> v{args.version}")
+        return 0
+
+    spark = _spark()
+
+    if args.cmd == "build":
+        from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
+            build_segment_index,
+        )
+
+        corpus = spark.read.parquet(args.corpus)
+        rep = build_segment_index(
+            spark, corpus, args.index,
+            n_buckets=args.n_buckets, hot_df=args.hot_df,
+            block_size=args.block_size, resume=args.resume,
+            store_positions=args.store_positions,
+        )
+        print(
+            f"built={rep.built_buckets} skipped={rep.skipped_buckets} "
+            f"snapshot={rep.snapshot_version} n_docs={rep.n_docs}"
+        )
+        return 0
+
+    if args.cmd == "update":
+        from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.maintenance import (
+            apply_updates,
+        )
+
+        rep = apply_updates(
+            spark, args.index,
+            add_corpus=spark.read.parquet(args.add) if args.add else None,
+            delete_keys=spark.read.parquet(args.delete) if args.delete else None,
+            resume=args.resume,
+        )
+        print(
+            f"snapshot={rep.snapshot_version} affected={rep.affected_buckets} "
+            f"n_docs={rep.n_docs}"
+        )
+        return 0
+
+    # query
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
+        SegmentIndex,
+        segment_topk,
+    )
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.topk import (
+        decide,
+    )
+
+    idx = SegmentIndex.open(spark, args.index)
+    queries = spark.read.parquet(args.queries)
+    if args.wand:
+        from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.wand import (
+            wand_topk,
+        )
+
+        top = wand_topk(idx, queries, k=args.k)
+    else:
+        top = segment_topk(idx, queries, k=args.k)
+    top.write.mode("overwrite").parquet(f"{args.out}/topk")
+    if args.threshold is not None and not args.wand:
+        decide(top, queries, args.threshold).write.mode("overwrite").parquet(
+            f"{args.out}/decisions"
+        )
+    print(f"wrote {args.out}/topk (snapshot v{idx.version})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -48,11 +48,48 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_INDEX_CACHE: dict[str, InvertedIndex] = {}
+_SEG_CACHE: dict[str, str] = {}
+
+
 def docs_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
-    """Build the v1 index over the driver's ``documents`` table
-    (doc_id, text, lang, source, n_chars)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return InvertedIndex.build(docs, id_col="doc_id", text_col="text")
+    """Build (once per sf_dir per process) the v1 index over the
+    driver's ``documents`` table (doc_id, text, lang, source,
+    n_chars)."""
+    if sf_dir not in _INDEX_CACHE:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        _INDEX_CACHE[sf_dir] = InvertedIndex.build(
+            docs, id_col="doc_id", text_col="text"
+        )
+    return _INDEX_CACHE[sf_dir]
+
+
+def docs_segment_index(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir per process) the PERSISTED segment index
+    over ``documents`` — exposes the varint-block/bucket/snapshot path
+    through the driver gate."""
+    import tempfile
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
+        SegmentIndex,
+        build_segment_index,
+    )
+
+    if sf_dir not in _SEG_CACHE:
+        docs = load(spark, sf_dir, "documents").select(
+            F.lit("corpus").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.lit("txt").alias("lang"),
+            F.col("text").alias("content"),
+            F.col("doc_id"),
+        )
+        d = tempfile.mkdtemp(prefix="driver_segidx_")
+        build_segment_index(spark, docs, d, n_buckets=4, hot_df=64,
+                            block_size=64, id_col="doc_id",
+                            text_col="content")
+        _SEG_CACHE[sf_dir] = d
+    return SegmentIndex.open(spark, _SEG_CACHE[sf_dir])
 
 
 def queries_df(spark: SparkSession) -> DataFrame:
@@ -314,6 +351,63 @@ FROM pos a JOIN pos b
   ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
 WHERE a.term = 'hash' AND b.term = 'join'
 GROUP BY a.doc_id
+"""
+
+
+def q_bm25_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query through the PERSISTED path: varint-block
+    segment index (buckets, salting, snapshots) → decode → BM25 —
+    must hash-match the same DuckDB oracle as the in-memory engine
+    (Q_BM25_TOPK_SQL): one oracle, two physical plans."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.topk import (
+        query_terms,
+    )
+
+    idx = docs_segment_index(spark, sf_dir)
+    qt = query_terms(queries_df(spark))
+    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    postings = idx.postings_for_terms(terms)
+    scored = (
+        postings.join(F.broadcast(qt), "term")
+        .withColumn(
+            "contrib_micro",
+            F.round(
+                score_col(F.col("tf"), F.col("df"), F.col("doc_len"),
+                          idx.n_docs, idx.avgdl) * F.lit(1_000_000.0)
+            ).cast("long"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib_micro").alias("score_micro"),
+            F.count(F.lit(1)).cast("long").alias("matched_terms"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK_K)
+        .select("query_id", "rank", "doc_id", "score_micro", "matched_terms")
+    )
+
+
+def q_unindexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine side-output (SURVEY §2.2 F5): docs that tokenize to
+    nothing. Empty on the driver corpus — the oracle must agree it is
+    empty, which is itself the check."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.index_build import (
+        unindexed_docs,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return unindexed_docs(docs, id_col="doc_id", text_col="text")
+
+
+Q_UNINDEXED_SQL = f"""
+SELECT doc_id, 'empty_after_tokenize' AS reason
+FROM documents
+WHERE len({_D_TOKS}) = 0
 """
 
 
@@ -811,8 +905,10 @@ QUERIES: dict[str, callable] = {
     "term_tf": q_term_tf,
     "candidates": q_candidates,
     "bm25_topk": q_bm25_topk,
+    "bm25_segment": q_bm25_segment,
     "match_or_nil": q_match_or_nil,
     "phrase_match": q_phrase_match,
+    "unindexed": q_unindexed,
     # relational operators
     "scan_agg": q_scan_agg,
     "join_revenue": q_join_revenue,
@@ -844,8 +940,10 @@ ORACLE_SQL: dict[str, str] = {
     "term_tf": Q_TERM_TF_SQL,
     "candidates": Q_CANDIDATES_SQL,
     "bm25_topk": Q_BM25_TOPK_SQL,
+    "bm25_segment": Q_BM25_TOPK_SQL,  # one oracle, two physical plans
     "match_or_nil": Q_MATCH_OR_NIL_SQL,
     "phrase_match": Q_PHRASE_MATCH_SQL,
+    "unindexed": Q_UNINDEXED_SQL,
     "scan_agg": Q_SCAN_AGG_SQL,
     "join_revenue": Q_JOIN_REVENUE_SQL,
     "semi_anti": Q_SEMI_ANTI_SQL,
