@@ -1,35 +1,38 @@
-"""Block-max WAND top-k executor over the segment index.
+"""Block-max top-k executor over the segment index (exact, pruned).
 
 Reference parity: the reference ranks candidates by shared-key count
 and evaluates them in that order, stopping at the first one above the
 threshold (``searchLUT_v2`` ordering ``_Shazam_.py:505`` + the
 first-above-threshold break ``Matching.py:122-131``) — i.e.
-upper-bound-ordered evaluation with early exit. Block-max WAND is the
-principled generalization (SURVEY §4): per-term posting streams are
-walked document-at-a-time; a pivot is chosen where the sum of term
-upper bounds first reaches the current top-k floor; blocks whose
-upper bound cannot beat the floor are skipped without decoding.
+upper-bound-ordered evaluation with early exit. This module is the
+principled generalization (SURVEY §4): **interval-at-a-time block-max
+WAND**. Doc-id space is partitioned into atomic intervals by the
+block boundaries of the query's terms; each interval's upper bound is
+the sum of the (single, because blocks of a term are disjoint)
+overlapping block bound per term. Intervals are processed in
+descending upper-bound order, scoring is numpy-vectorized per
+interval, and the loop stops as soon as the running top-k floor
+beats the best remaining interval bound — blocks in skipped
+intervals are never decoded.
 
-Execution shape: the candidate **blocks** (compressed payloads +
-bounds, no decoding) shuffle once, grouped per query; the WAND loop
-runs inside ``applyInPandas`` with numpy-decoded blocks on demand.
-Query count is the small axis (the reference's nj=32 splits), so one
-group per query parallelizes across the cluster; the heavy axis —
-posting volume — is touched only through bound-gated decodes.
+Execution shape: candidate blocks (compressed payloads + bounds, no
+decoding) shuffle once, grouped per query; the interval loop runs in
+``applyInPandas``. Queries are the small axis (the reference's nj=32
+splits); the heavy axis — posting volume — is touched only through
+bound-gated decodes.
 
 Bounds are recomputed from stored raw stats (max_tf, min_dl) under
 the CURRENT snapshot's avgdl, so pruning stays safe after incremental
 updates shift global stats (see segments.py).
 
 Exactness: returned top-k docs and scores are identical to the
-brute-force path (test_wand.py asserts equality with segment_topk);
-scores accumulate per doc in ascending term order for determinism.
+brute-force path (tests/test_wand.py asserts equality at k=1/3/10);
+per-doc scores are computed in one vectorized reduction, and the
+deterministic tie-break (score DESC, doc_id ASC) is applied at the
+end.
 """
 
 from __future__ import annotations
-
-import heapq
-import math
 
 import numpy as np
 import pandas as pd
@@ -55,160 +58,126 @@ RESULT_SCHEMA = T.StructType(
         T.StructField("rank", T.IntegerType()),
         T.StructField("doc_id", T.LongType()),
         T.StructField("score", T.DoubleType()),
+        T.StructField("matched_terms", T.IntegerType()),
         T.StructField("blocks_decoded", T.IntegerType()),
         T.StructField("blocks_total", T.IntegerType()),
     ]
 )
 
-_SENTINEL = (1 << 63) - 1  # past-the-end doc id
 
+class _Term:
+    """One term's blocks: boundary arrays + lazy per-block decode."""
 
-class _TermStream:
-    """One term's ordered block list with lazy decode + seek."""
+    __slots__ = ("idf", "los", "his", "bounds", "payloads", "cache", "decoded")
 
-    __slots__ = ("idf", "blocks", "bounds", "bi", "ids", "tfs", "dls",
-                 "off", "decoded", "ub")
-
-    def __init__(self, idf: float, blocks: list, avgdl: float):
-        # blocks: list of (doc_id_lo, doc_id_hi, max_tf, min_dl, payload)
-        # already sorted by doc_id_lo (disjoint ranges by construction)
+    def __init__(self, idf: float, g: pd.DataFrame, avgdl: float):
         self.idf = idf
-        self.blocks = blocks
-        self.bounds = [
-            idf * (mt / (mt + K1 * (1.0 - B + B * md / avgdl)))
-            for (_, _, mt, md, _) in blocks
-        ]
-        self.ub = max(self.bounds) if self.bounds else 0.0  # term-level UB
-        self.bi = 0
-        self.ids = self.tfs = self.dls = None
-        self.off = 0
+        self.los = g["doc_id_lo"].to_numpy(np.int64)
+        self.his = g["doc_id_hi"].to_numpy(np.int64)
+        mt = g["max_tf"].to_numpy(np.float64)
+        md = g["min_dl"].to_numpy(np.float64)
+        self.bounds = idf * (mt / (mt + K1 * (1.0 - B + B * md / avgdl)))
+        self.payloads = list(g["payload"])
+        self.cache: dict[int, tuple] = {}
         self.decoded = 0
-        self._enter_block()
 
-    def _enter_block(self):
-        # position at the first doc of block bi WITHOUT decoding;
-        # decode happens only when docs are actually consumed
-        self.ids = None
-        self.off = 0
+    def block_at(self, doc_lo: np.int64) -> int:
+        """Index of the block whose range could contain doc_lo; -1 if
+        none (blocks are disjoint and sorted by lo)."""
+        i = int(np.searchsorted(self.los, doc_lo, side="right")) - 1
+        if i >= 0 and self.his[i] >= doc_lo:
+            return i
+        return -1
 
-    def current_bound(self) -> float:
-        return self.bounds[self.bi] if self.bi < len(self.blocks) else 0.0
-
-    def current_doc(self) -> int:
-        if self.bi >= len(self.blocks):
-            return _SENTINEL
-        if self.ids is None:
-            return self.blocks[self.bi][0]  # block's doc_id_lo, no decode
-        return int(self.ids[self.off])
-
-    def _decode(self):
-        if self.ids is None:
-            payload = self.blocks[self.bi][4]
-            self.ids, self.tfs, self.dls = decode_block(bytes(payload))
-            self.decoded += 1
-
-    def seek(self, target: int):
-        """Advance to the first doc >= target, skipping whole blocks
-        by their [lo, hi] ranges (no decode for skipped blocks)."""
-        while self.bi < len(self.blocks):
-            lo, hi = self.blocks[self.bi][0], self.blocks[self.bi][1]
-            if hi < target:
-                self.bi += 1
-                self._enter_block()
-                continue
-            if target <= lo:
-                return
-            self._decode()
-            # binary search inside the block
-            self.off = int(np.searchsorted(self.ids, target, side="left"))
-            if self.off >= len(self.ids):
-                self.bi += 1
-                self._enter_block()
-                continue
-            return
-
-    def score_current(self, avgdl: float) -> float:
-        self._decode()
-        tf = float(self.tfs[self.off])
-        dl = float(self.dls[self.off])
-        return self.idf * (tf / (tf + K1 * (1.0 - B + B * dl / avgdl)))
-
-    def advance(self):
-        self._decode()
-        self.off += 1
-        if self.off >= len(self.ids):
-            self.bi += 1
-            self._enter_block()
-
-
-def _wand_one_query(streams: list[_TermStream], k: int, avgdl: float):
-    """Document-at-a-time block-max WAND. Returns (results, decoded,
-    total_blocks): results = [(doc_id, score)] sorted (score DESC,
-    doc_id ASC), exact scores."""
-    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
-    floor = -math.inf
-
-    def theta():
-        return heap[0][0] if len(heap) >= k else -math.inf
-
-    while True:
-        streams.sort(key=lambda s: s.current_doc())
-        # pivot: first prefix whose UB sum can beat the floor
-        ub = 0.0
-        pivot = -1
-        floor = theta()
-        for i, s in enumerate(streams):
-            if s.current_doc() == _SENTINEL:
-                break
-            ub += s.ub
-            if ub > floor:
-                pivot = i
-                break
-        if pivot < 0:
-            break
-        pivot_doc = streams[pivot].current_doc()
-        if pivot_doc == _SENTINEL:
-            break
-        if streams[0].current_doc() == pivot_doc:
-            # block-max check: tighter bound from the CURRENT blocks
-            bm = 0.0
-            for s in streams:
-                if s.current_doc() > pivot_doc:
-                    break
-                s.seek(pivot_doc)  # aligns block; cheap if already there
-                if s.current_doc() == pivot_doc or (
-                    s.bi < len(s.blocks) and s.blocks[s.bi][0] <= pivot_doc
-                ):
-                    bm += s.current_bound()
-            if bm > floor:
-                score = 0.0
-                for s in streams:
-                    if s.current_doc() == pivot_doc:
-                        score += s.score_current(avgdl)
-                for s in streams:
-                    if s.current_doc() == pivot_doc:
-                        s.advance()
-                item = (score, -pivot_doc)
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
-            else:
-                for s in streams:
-                    if s.current_doc() == pivot_doc:
-                        s.advance()
-        else:
-            # advance the leading stream with the largest UB to pivot_doc
-            lead = max(
-                (s for s in streams if s.current_doc() < pivot_doc),
-                key=lambda s: s.ub,
+    def slice(self, bi: int, start: np.int64, end: np.int64, avgdl: float):
+        """(doc_ids, contribs) of block bi restricted to [start, end]."""
+        if bi not in self.cache:
+            ids, tfs, dls = decode_block(bytes(self.payloads[bi]))
+            contribs = self.idf * (
+                tfs / (tfs + K1 * (1.0 - B + B * dls.astype(np.float64) / avgdl))
             )
-            lead.seek(pivot_doc)
+            self.cache[bi] = (ids, contribs)
+            self.decoded += 1
+        ids, contribs = self.cache[bi]
+        s = int(np.searchsorted(ids, start, side="left"))
+        e = int(np.searchsorted(ids, end, side="right"))
+        return ids[s:e], contribs[s:e]
 
-    out = sorted(((s, -nd) for s, nd in heap), key=lambda t: (-t[0], t[1]))
-    decoded = sum(s.decoded for s in streams)
-    total = sum(len(s.blocks) for s in streams)
-    return [(doc, sc) for sc, doc in out], decoded, total
+
+def _topk_one_query(terms: list[_Term], k: int, avgdl: float):
+    """Interval-at-a-time block-max top-k. Returns (doc_ids, scores,
+    matched, decoded, total_blocks), ranked (score DESC, doc_id ASC)."""
+    # atomic intervals: cut doc space at every block lo and hi+1
+    cuts = np.unique(
+        np.concatenate(
+            [t.los for t in terms]
+            + [np.minimum(t.his, np.int64(2**63 - 2)) + 1 for t in terms]
+        )
+    )
+    starts = cuts[:-1]
+    ends = cuts[1:] - 1  # inclusive
+    n_int = starts.size
+    if n_int == 0:
+        return (np.zeros(0, np.int64), np.zeros(0), np.zeros(0, np.int32),
+                0, sum(len(t.payloads) for t in terms))
+
+    # per (interval, term): overlapping block index (or -1) and bound
+    blk = np.full((len(terms), n_int), -1, dtype=np.int64)
+    ub = np.zeros(n_int, dtype=np.float64)
+    for ti, t in enumerate(terms):
+        i = np.searchsorted(t.los, starts, side="right") - 1
+        valid = (i >= 0) & (t.his[np.clip(i, 0, None)] >= starts)
+        blk[ti] = np.where(valid, i, -1)
+        ub += np.where(valid, t.bounds[np.clip(i, 0, None)], 0.0)
+
+    order = np.argsort(-ub, kind="stable")
+    top_docs: np.ndarray = np.zeros(0, np.int64)
+    top_scores: np.ndarray = np.zeros(0, np.float64)
+    top_matched: np.ndarray = np.zeros(0, np.int32)
+    floor = -np.inf
+
+    for ii in order:
+        if ub[ii] <= 0:
+            break
+        if top_docs.size >= k and ub[ii] < floor:
+            # no remaining interval can beat the floor (strict: a doc
+            # achieving EXACTLY the floor could still win the doc_id
+            # tie-break, so ub == floor intervals are processed)
+            break
+        s, e = starts[ii], ends[ii]
+        ids_parts, c_parts = [], []
+        for ti, t in enumerate(terms):
+            bi = int(blk[ti, ii])
+            if bi >= 0:
+                ids_p, c_p = t.slice(bi, s, e, avgdl)
+                if ids_p.size:
+                    ids_parts.append(ids_p)
+                    c_parts.append(c_p)
+        if not ids_parts:
+            continue
+        ids = np.concatenate(ids_parts)
+        contribs = np.concatenate(c_parts)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        scores = np.zeros(uniq.size)
+        np.add.at(scores, inv, contribs)
+        matched = np.zeros(uniq.size, dtype=np.int32)
+        np.add.at(matched, inv, 1)
+        # merge into running top-k
+        top_docs = np.concatenate([top_docs, uniq])
+        top_scores = np.concatenate([top_scores, scores])
+        top_matched = np.concatenate([top_matched, matched])
+        if top_docs.size > k:
+            sel = np.lexsort((top_docs, -top_scores))[:k]
+            top_docs, top_scores, top_matched = (
+                top_docs[sel], top_scores[sel], top_matched[sel],
+            )
+        if top_docs.size >= k:
+            floor = float(top_scores.min())
+
+    sel = np.lexsort((top_docs, -top_scores))[:k]
+    decoded = sum(t.decoded for t in terms)
+    total = sum(len(t.payloads) for t in terms)
+    return (top_docs[sel], top_scores[sel], top_matched[sel], decoded, total)
 
 
 def wand_topk(
@@ -218,9 +187,10 @@ def wand_topk(
     id_col: str = "query_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Top-k via block-max WAND; exact same results as segment_topk,
-    plus per-query decode counters (blocks_decoded / blocks_total) so
-    tests and benches can assert pruning actually happened."""
+    """Top-k via interval-at-a-time block-max WAND; exact same results
+    as segment_topk, plus per-query decode counters
+    (blocks_decoded / blocks_total) so tests and benches can assert
+    pruning actually happened."""
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.topk import (
         query_terms,
     )
@@ -236,38 +206,28 @@ def wand_topk(
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         qid = key[0]
-        streams = []
+        ts = []
         for term, g in pdf.groupby("term", sort=True):
             g = g.sort_values(["salt", "block_seq"])
-            df_val = int(g["df"].iloc[0])
-            blks = list(
-                zip(
-                    g["doc_id_lo"].astype("int64"),
-                    g["doc_id_hi"].astype("int64"),
-                    g["max_tf"].astype("int64"),
-                    g["min_dl"].astype("int64"),
-                    g["payload"],
-                )
-            )
-            streams.append(_TermStream(idf_py(df_val, n_docs), blks, avgdl))
-        results, decoded, total = _wand_one_query(streams, k, avgdl)
+            ts.append(_Term(idf_py(int(g["df"].iloc[0]), n_docs), g, avgdl))
+        docs, scores, matched, decoded, total = _topk_one_query(ts, k, avgdl)
+        n = docs.size
         return pd.DataFrame(
             {
                 "query_id": qid,
-                "rank": np.arange(1, len(results) + 1, dtype="int32"),
-                "doc_id": np.array([d for d, _ in results], dtype="int64"),
-                "score": np.array([s for _, s in results], dtype="float64"),
+                "rank": np.arange(1, n + 1, dtype="int32"),
+                "doc_id": docs,
+                "score": scores,
+                "matched_terms": matched,
                 "blocks_decoded": np.int32(decoded),
                 "blocks_total": np.int32(total),
             }
         )
 
-    # pin parallelism: the WAND loop is CPU-bound Python per query —
+    # pin parallelism: the per-query loop is CPU-bound Python/numpy —
     # don't let AQE coalesce the (small-bytes) shuffle under the core
     # count and serialize it
-    n_part = int(
-        index.spark.conf.get("spark.sql.shuffle.partitions")
-    )
+    n_part = int(index.spark.conf.get("spark.sql.shuffle.partitions"))
     return (
         per_query.repartition(n_part, "query_id")
         .groupBy("query_id")
