@@ -178,24 +178,64 @@ def main_one(cores: int) -> None:
     print("ENGINE_RESULT " + json.dumps(engine))
 
 
+def _ceiling_work(_):
+    s = 0
+    for i in range(4_000_000):
+        s += i * i % 7
+    return s
+
+
+def _host_ceiling(n_lo: int, n_hi: int) -> float:
+    """Measured pure-CPU scaling the HOST can deliver between n_lo and
+    n_hi worker processes (fixed total work). This VM's vCPUs are
+    host-contended: 8→32 procs deliver only ~2.7x of the ideal 4x, so
+    raw efficiency numbers must be read against this ceiling."""
+    import multiprocessing as mp
+
+    walls = {}
+    for n in (n_lo, n_hi):
+        t0 = time.monotonic()
+        with mp.Pool(n) as p:
+            p.map(_ceiling_work, range(64))
+        walls[n] = time.monotonic() - t0
+    return (walls[n_lo] / walls[n_hi]) / (n_hi / n_lo)
+
+
 def main_scaling() -> None:
-    """local[8] vs local[32] on the identical job+input (BASELINE.md
-    protocol; stands in for N vs 4N executors). Each leg runs in a
-    fresh subprocess; legs are interleaved and repeated, and the BEST
-    run per level is kept — this sandbox is a VM with host-contended
-    vCPUs and aggressive page-cache reclaim (loadavg >10 with zero
-    guest processes), so single-shot wall clocks swing 2-3x."""
+    """N vs 4N cores on the identical job+input (BASELINE.md protocol:
+    'local[8] and local[32], or N and 4N cores'). Default N=4 vs 16:
+    calibration shows this host delivers ~0.89 ideal scaling for pure
+    CPU at 4→16 procs but only ~0.67 at 8→32 (vCPU oversubscription) —
+    the smaller pair measures the ENGINE, not the hypervisor. Each leg
+    runs taskset-confined in a fresh subprocess; legs are interleaved
+    and repeated, best run kept (page-cache reclaim swings single-shot
+    walls 2-3x)."""
     import subprocess
 
+    levels = tuple(
+        int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "4,16").split(",")
+    )
+    n_lo, n_hi = levels
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
-    runs: dict[int, list[dict]] = {8: [], 32: []}
+    runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
+    use_taskset = shutil.which("taskset") is not None
     for _ in range(repeats):
-        for cores in (8, 32):
+        for cores in levels:
+            cmd = [sys.executable, os.path.abspath(__file__), "--one", str(cores)]
+            if use_taskset:
+                # confine the WHOLE process tree (JVM GC/shuffle/IO
+                # threads + python workers) to `cores` CPUs — without
+                # this, the local[8] leg borrows idle cores and the
+                # baseline is inflated
+                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one", str(cores)],
-                capture_output=True, text=True, check=True,
+                cmd,
+                capture_output=True, text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise RuntimeError(f"leg cores={cores} failed")
             line = [ln for ln in proc.stdout.splitlines()
                     if ln.startswith("ENGINE_RESULT ")][-1]
             runs[cores].append(json.loads(line[len("ENGINE_RESULT "):]))
@@ -203,53 +243,64 @@ def main_scaling() -> None:
     results = {
         c: min(rs, key=lambda r: r["index_build"]) for c, rs in runs.items()
     }
-    thr8 = max(r["_index_docs_per_sec"] for r in runs[8])
-    thr32 = max(r["_index_docs_per_sec"] for r in runs[32])
-    build_eff = (thr32 / thr8) / 4
-    q8 = max(N_QUERIES / r["wand_topk_batch"] for r in runs[8])
-    q32 = max(N_QUERIES / r["wand_topk_batch"] for r in runs[32])
-    query_eff = (q32 / q8) / 4
+    ratio = n_hi / n_lo
+    thr_lo = max(r["_index_docs_per_sec"] for r in runs[n_lo])
+    thr_hi = max(r["_index_docs_per_sec"] for r in runs[n_hi])
+    build_eff = (thr_hi / thr_lo) / ratio
+    q_lo = max(N_QUERIES / r["wand_topk_batch"] for r in runs[n_lo])
+    q_hi = max(N_QUERIES / r["wand_topk_batch"] for r in runs[n_hi])
+    query_eff = (q_hi / q_lo) / ratio
+    ceiling = _host_ceiling(n_lo, n_hi)
 
     os.makedirs("BENCH", exist_ok=True)
+    lo, hi = f"local[{n_lo}]", f"local[{n_hi}]"
     lines = [
         "# BENCH/BASELINE.md — measured numbers",
         "",
         f"Synthetic corpus: {SCALING_DOCS} docs (distributed deterministic "
-        "generator, seed 42), identical input at both parallelism levels.",
+        "generator, seed 42), identical input at both parallelism levels "
+        f"(N={n_lo} vs 4N={n_hi} cores, taskset-confined, per BASELINE.md "
+        "'N and 4N cores' protocol).",
         "",
-        "| metric | local[8] | local[32] | scaling efficiency (target ≥0.8) |",
+        f"| metric | {lo} | {hi} | scaling efficiency (target ≥0.8) |",
         "|---|---|---|---|",
-        f"| index build (docs/sec) | {thr8:.1f} | {thr32:.1f} | {build_eff:.3f} |",
-        f"| WAND top-k batch (q/sec) | {q8:.2f} | {q32:.2f} | {query_eff:.3f} |",
+        f"| index build (docs/sec) | {thr_lo:.1f} | {thr_hi:.1f} | {build_eff:.3f} |",
+        f"| WAND top-k batch (q/sec) | {q_lo:.2f} | {q_hi:.2f} | {query_eff:.3f} |",
+        f"| pure-CPU host ceiling (same proc counts) | — | — | {ceiling:.3f} |",
         "",
-        f"| phase | local[8] sec | local[32] sec |",
+        f"| phase | {lo} sec | {hi} sec |",
         "|---|---|---|",
     ]
     for phase in ("corpus_gen", "index_build", "bm25_topk_batch",
                   "wand_topk_batch"):
         lines.append(
-            f"| {phase} | {results[8][phase]:.2f} | {results[32][phase]:.2f} |"
+            f"| {phase} | {results[n_lo][phase]:.2f} "
+            f"| {results[n_hi][phase]:.2f} |"
         )
     lines += [
         "",
-        "Protocol per BASELINE.md: efficiency = (throughput@local[32] / "
-        "throughput@local[8]) / 4 — the sandbox stand-in for N vs 4N "
-        "executor clusters. Each level runs in a fresh subprocess, "
-        "levels interleaved, repeated, best run kept.",
+        f"Protocol per BASELINE.md: efficiency = (throughput@{hi} / "
+        f"throughput@{lo}) / {ratio:.0f} — the sandbox stand-in for N vs "
+        "4N executor clusters. Each level runs taskset-confined in a "
+        "fresh subprocess, levels interleaved, repeated, best run kept.",
         "",
         "Measurement caveats: (a) local mode shares one JVM/driver and "
         "page cache, under-reporting true multi-node scaling when I/O- "
-        "or driver-bound; (b) this sandbox VM shows loadavg >10 with "
-        "zero guest processes — host-contended vCPUs + aggressive page "
-        "cache reclaim swing single-shot wall clocks 2-3x, hence the "
-        "best-of-N protocol.",
+        "or driver-bound; (b) this sandbox VM's vCPUs are "
+        "host-oversubscribed (loadavg >10 with zero guest processes; "
+        "pure-CPU multiprocessing itself scales at only the ceiling "
+        "shown above) — engine efficiency should be read against that "
+        "ceiling, and 8→32 pairs are not measurable here (ceiling "
+        "~0.67).",
     ]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({
-        "index_docs_per_sec": {"local8": round(thr8, 1), "local32": round(thr32, 1)},
+        "levels": [n_lo, n_hi],
+        "index_docs_per_sec": {lo: round(thr_lo, 1), hi: round(thr_hi, 1)},
         "build_scaling_efficiency": round(build_eff, 3),
         "query_scaling_efficiency": round(query_eff, 3),
+        "host_cpu_ceiling": round(ceiling, 3),
     }))
 
 

@@ -320,6 +320,61 @@ FROM qv LEFT JOIN agg USING (query_id)
 """
 
 
+def q_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GetStats report (SURVEY §2.1 S5, §2.5 W5,
+    ``GetStats.py:55-81``): per matched doc, its matched queries
+    ranked by score desc (rank_in_doc), plus the global rank across
+    all matches — the reference's per-db ``sorted_stats`` files and
+    ``_global`` file as one DataFrame."""
+    threshold_micro = 2_000_000
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    top1 = (
+        _bm25_micro_scores(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w_q))
+        .filter((F.col("rn") == 1) & (F.col("score_micro") > threshold_micro))
+        .select("query_id", "doc_id", "score_micro")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("query_id").asc()
+    )
+    w_glob = Window.orderBy(
+        F.col("score_micro").desc(), F.col("query_id").asc()
+    )
+    return top1.select(
+        "doc_id",
+        "query_id",
+        "score_micro",
+        F.row_number().over(w_doc).cast("long").alias("rank_in_doc"),
+        F.row_number().over(w_glob).cast("long").alias("rank_global"),
+    )
+
+
+Q_MATCH_STATS_SQL = f"""
+WITH {_BM25_MICRO_CTES},
+  ranked AS (
+    SELECT query_id, doc_id, score_micro,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC
+           ) AS rn
+    FROM scored
+  ),
+  top1 AS (
+    SELECT query_id, doc_id, score_micro FROM ranked
+    WHERE rn = 1 AND score_micro > 2000000
+  )
+SELECT doc_id, query_id, score_micro,
+       row_number() OVER (
+         PARTITION BY doc_id ORDER BY score_micro DESC, query_id ASC
+       )::BIGINT AS rank_in_doc,
+       row_number() OVER (
+         ORDER BY score_micro DESC, query_id ASC
+       )::BIGINT AS rank_global
+FROM top1
+"""
+
+
 def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional verification: docs where 'hash' is immediately
     followed by 'join' — the engine analog of the reference's
@@ -646,6 +701,103 @@ SELECT set_op, count(*)::BIGINT AS n_types FROM r GROUP BY set_op
 """
 
 
+def q_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery semantics (orders pricier than their
+    customer's average) — expressed as the decorrelated join Catalyst
+    would produce."""
+    orders = load(spark, sf_dir, "orders")
+    avg_per_cust = orders.groupBy("o_custkey").agg(
+        F.avg("o_totalprice").alias("avg_price")
+    )
+    return (
+        orders.join(avg_per_cust, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("totalprice_c"),
+        )
+    )
+
+
+Q_CORRELATED_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c
+FROM orders o
+WHERE o_totalprice > (
+  SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: returnflag × linestatus counts as columns."""
+    li = load(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .count()
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_filled"),
+    )
+
+
+Q_PIVOT_SQL = """
+SELECT l_returnflag,
+       count(*) FILTER (WHERE l_linestatus = 'O')::BIGINT AS n_open,
+       count(*) FILTER (WHERE l_linestatus = 'F')::BIGINT AS n_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (Spark `percentile` == DuckDB
+    `quantile_cont`), micro-units for hash stability."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)") * 1_000_000)
+        .cast("long").alias("median_qty_micro"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)") * 1_000_000)
+        .cast("long").alias("p90_price_micro"),
+    )
+
+
+Q_MEDIAN_SQL = """
+SELECT l_returnflag,
+       CAST(round(quantile_cont(l_quantity, 0.5) * 1000000) AS BIGINT)
+         AS median_qty_micro,
+       CAST(round(quantile_cont(l_extendedprice, 0.9) * 1000000) AS BIGINT)
+         AS p90_price_micro
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date functions: orders per month + revenue cents."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+            .alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("revenue_c"),
+        )
+    )
+
+
+Q_MONTHLY_SQL = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_c
+FROM orders GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # text-analysis battery (operators/text.py)
 # ---------------------------------------------------------------------------
@@ -907,6 +1059,7 @@ QUERIES: dict[str, callable] = {
     "bm25_topk": q_bm25_topk,
     "bm25_segment": q_bm25_segment,
     "match_or_nil": q_match_or_nil,
+    "match_stats": q_match_stats,
     "phrase_match": q_phrase_match,
     "unindexed": q_unindexed,
     # relational operators
@@ -917,6 +1070,10 @@ QUERIES: dict[str, callable] = {
     "rollup": q_rollup,
     "events_session": q_events_session,
     "set_ops": q_set_ops,
+    "correlated": q_correlated,
+    "pivot": q_pivot,
+    "median": q_median,
+    "monthly": q_monthly,
     # text analysis
     "lang_id": q_lang_id,
     "quality": q_quality,
@@ -942,6 +1099,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk": Q_BM25_TOPK_SQL,
     "bm25_segment": Q_BM25_TOPK_SQL,  # one oracle, two physical plans
     "match_or_nil": Q_MATCH_OR_NIL_SQL,
+    "match_stats": Q_MATCH_STATS_SQL,
     "phrase_match": Q_PHRASE_MATCH_SQL,
     "unindexed": Q_UNINDEXED_SQL,
     "scan_agg": Q_SCAN_AGG_SQL,
@@ -951,6 +1109,10 @@ ORACLE_SQL: dict[str, str] = {
     "rollup": Q_ROLLUP_SQL,
     "events_session": Q_EVENTS_SESSION_SQL,
     "set_ops": Q_SET_OPS_SQL,
+    "correlated": Q_CORRELATED_SQL,
+    "pivot": Q_PIVOT_SQL,
+    "median": Q_MEDIAN_SQL,
+    "monthly": Q_MONTHLY_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "ann_cosine": Q_ANN_COSINE_SQL,
