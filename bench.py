@@ -53,20 +53,27 @@ def _mk_spark(cores: int):
 
 
 def _bench_queries(spark, corpus):
-    """Deterministic query batch: verbatim windows + unique terms from
-    the corpus (same construction as the test fixtures, Spark-side)."""
+    """Deterministic query batch: verbatim windows from docs 0..N-1,
+    selected by their deterministic path (NOT limit() — limit picks
+    whichever partitions arrive first, so the query set would differ
+    between parallelism levels)."""
     from pyspark.sql import functions as F
 
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.sources.corpus import (
+        LANGS,
+    )
+
+    paths = [
+        f"src/mod{d % 13}/file{d}.{LANGS[d % len(LANGS)]}"
+        for d in range(N_QUERIES)
+    ]
     qs = (
-        corpus.select("content")
-        .limit(N_QUERIES)
+        corpus.filter(F.col("path").isin(paths))
         .select(
-            F.monotonically_increasing_id().alias("i"),
-            F.slice(F.split("content", " "), 5, 10).alias("w"),
-        )
-        .select(
-            F.concat(F.lit("q"), F.col("i")).alias("query_id"),
-            F.concat_ws(" ", "w").alias("text"),
+            F.col("path").alias("query_id"),
+            F.concat_ws(
+                " ", F.slice(F.split("content", " "), 5, 10)
+            ).alias("text"),
         )
     )
     return qs.cache()
@@ -221,6 +228,8 @@ def main_scaling() -> None:
     use_taskset = shutil.which("taskset") is not None
     for _ in range(repeats):
         for cores in levels:
+            time.sleep(30)  # settle: page-cache writeback from the
+            # previous leg depresses the next leg's first minutes
             cmd = [sys.executable, os.path.abspath(__file__), "--one", str(cores)]
             if use_taskset:
                 # confine the WHOLE process tree (JVM GC/shuffle/IO
@@ -267,6 +276,10 @@ def main_scaling() -> None:
         f"| index build (docs/sec) | {thr_lo:.1f} | {thr_hi:.1f} | {build_eff:.3f} |",
         f"| WAND top-k batch (q/sec) | {q_lo:.2f} | {q_hi:.2f} | {query_eff:.3f} |",
         f"| pure-CPU host ceiling (same proc counts) | — | — | {ceiling:.3f} |",
+        f"| build efficiency normalized to host ceiling | — | — "
+        f"| {build_eff / ceiling:.3f} |",
+        f"| query efficiency normalized to host ceiling | — | — "
+        f"| {query_eff / ceiling:.3f} |",
         "",
         f"| phase | {lo} sec | {hi} sec |",
         "|---|---|---|",
@@ -301,6 +314,8 @@ def main_scaling() -> None:
         "build_scaling_efficiency": round(build_eff, 3),
         "query_scaling_efficiency": round(query_eff, 3),
         "host_cpu_ceiling": round(ceiling, 3),
+        "build_eff_normalized": round(build_eff / ceiling, 3),
+        "query_eff_normalized": round(query_eff / ceiling, 3),
     }))
 
 

@@ -255,6 +255,61 @@ def restore(index_dir: str, version: int) -> None:
     _write_current(index_dir, version)
 
 
+def vacuum(index_dir: str, keep_last: int = 2) -> dict:
+    """Expire old snapshots and delete data generations no kept
+    snapshot references (Iceberg expire_snapshots/remove_orphans
+    analog). CURRENT's snapshot is always kept. Returns a report of
+    what was removed.
+
+    Safe by construction: referenced paths are collected from the kept
+    snapshots' bucket maps + doc_lens pointers; only data/ and
+    manifests/ entries referenced by NO kept snapshot are deleted.
+    """
+    import shutil
+
+    current = _read_current_version(index_dir)
+    log = snapshot_log(index_dir)
+    versions = [s["version"] for s in log]
+    keep = sorted(set(versions[-keep_last:]) | {current})
+    kept_snaps = [s for s in log if s["version"] in keep]
+
+    referenced_dirs: set[str] = set()
+    referenced_gens: set[str] = set()
+    for s in kept_snaps:
+        referenced_dirs.add(s["doc_lens"].split("/")[1])
+        for paths in s["buckets"].values():
+            for p in paths.values():
+                referenced_dirs.add(p.split("/")[1])  # e.g. dt_u2
+    for d in referenced_dirs:
+        referenced_gens.add(d.split("_", 1)[1])  # init / uN
+    # update generations also reference their delta/removed staging
+    for gen in referenced_gens:
+        referenced_dirs.update({f"dtdelta_{gen}", f"removed_{gen}"})
+
+    removed_data, removed_snaps = [], []
+    for name in sorted(os.listdir(f"{index_dir}/data")):
+        if name not in referenced_dirs:
+            shutil.rmtree(f"{index_dir}/data/{name}", ignore_errors=True)
+            removed_data.append(name)
+    for s in log:
+        if s["version"] not in keep:
+            os.remove(f"{index_dir}/snapshots/v{s['version']}.json")
+            removed_snaps.append(s["version"])
+    for name in sorted(os.listdir(f"{index_dir}/manifests")):
+        if name not in referenced_gens:
+            shutil.rmtree(f"{index_dir}/manifests/{name}", ignore_errors=True)
+    return {
+        "kept_versions": keep,
+        "removed_versions": removed_snaps,
+        "removed_data_dirs": removed_data,
+    }
+
+
+def _read_current_version(index_dir: str) -> int:
+    with open(f"{index_dir}/CURRENT") as f:
+        return int(f.read().strip())
+
+
 def snapshot_log(index_dir: str) -> list[dict]:
     """Snapshot lineage, oldest→newest (Iceberg history analog)."""
     out = []
