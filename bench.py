@@ -116,10 +116,13 @@ def run_engine_suite(spark, n_docs: int) -> dict[str, float]:
         nq = queries.count()
         idx = SegmentIndex.open(spark, idx_dir)
 
-        t0 = time.monotonic()
-        segment_topk(idx, queries, k=K).collect()
-        out["bm25_topk_batch"] = time.monotonic() - t0
-        out["_bm25_per_query_ms"] = out["bm25_topk_batch"] / nq * 1000
+        if not os.environ.get("SPARK_GRAFT_SKIP_BRUTE"):
+            # brute-force path: O(sum of matched posting lists) join —
+            # the correctness baseline, latency datapoint only
+            t0 = time.monotonic()
+            segment_topk(idx, queries, k=K).collect()
+            out["bm25_topk_batch"] = time.monotonic() - t0
+            out["_bm25_per_query_ms"] = out["bm25_topk_batch"] / nq * 1000
 
         t0 = time.monotonic()
         wand_topk(idx, queries, k=K).collect()
@@ -237,9 +240,19 @@ def main_scaling() -> None:
                 # this, the local[8] leg borrows idle cores and the
                 # baseline is inflated
                 cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+            # query-scaling leg: a big WAND-only batch (small batches
+            # are latency-bound — fixed multi-second job overheads
+            # swamp the per-query work and scaling is unmeasurable)
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_BENCH_QUERIES=os.environ.get(
+                    "SPARK_GRAFT_SCALING_QUERIES", "256"
+                ),
+                SPARK_GRAFT_SKIP_BRUTE="1",
+            )
             proc = subprocess.run(
                 cmd,
-                capture_output=True, text=True,
+                capture_output=True, text=True, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             if proc.returncode != 0:
@@ -253,11 +266,12 @@ def main_scaling() -> None:
         c: min(rs, key=lambda r: r["index_build"]) for c, rs in runs.items()
     }
     ratio = n_hi / n_lo
+    nq = int(os.environ.get("SPARK_GRAFT_SCALING_QUERIES", "256"))
     thr_lo = max(r["_index_docs_per_sec"] for r in runs[n_lo])
     thr_hi = max(r["_index_docs_per_sec"] for r in runs[n_hi])
     build_eff = (thr_hi / thr_lo) / ratio
-    q_lo = max(N_QUERIES / r["wand_topk_batch"] for r in runs[n_lo])
-    q_hi = max(N_QUERIES / r["wand_topk_batch"] for r in runs[n_hi])
+    q_lo = max(nq / r["wand_topk_batch"] for r in runs[n_lo])
+    q_hi = max(nq / r["wand_topk_batch"] for r in runs[n_hi])
     query_eff = (q_hi / q_lo) / ratio
     ceiling = _host_ceiling(n_lo, n_hi)
 
@@ -286,10 +300,11 @@ def main_scaling() -> None:
     ]
     for phase in ("corpus_gen", "index_build", "bm25_topk_batch",
                   "wand_topk_batch"):
-        lines.append(
-            f"| {phase} | {results[n_lo][phase]:.2f} "
-            f"| {results[n_hi][phase]:.2f} |"
-        )
+        if phase in results[n_lo] and phase in results[n_hi]:
+            lines.append(
+                f"| {phase} | {results[n_lo][phase]:.2f} "
+                f"| {results[n_hi][phase]:.2f} |"
+            )
     lines += [
         "",
         f"Protocol per BASELINE.md: efficiency = (throughput@{hi} / "
