@@ -242,7 +242,11 @@ _BM25_MICRO_CTES = f"""
 {DUCKDB_INDEX_CTES},
   scored AS (
     SELECT qt.query_id, tf.doc_id,
-           sum(CAST(round(({_SCORE_EXPR}) * 1000000.0) AS BIGINT)) AS score_micro,
+           -- outer CAST: DuckDB sum(BIGINT) returns HUGEINT, which
+           -- pandas-canonicalizes as float64/object and breaks the
+           -- driver's typed value-hash even when values are identical
+           CAST(sum(CAST(round(({_SCORE_EXPR}) * 1000000.0) AS BIGINT))
+                AS BIGINT) AS score_micro,
            count(*)::BIGINT AS matched_terms
     FROM qt
     JOIN tf USING (term)
@@ -493,10 +497,13 @@ def q_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_SCAN_AGG_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS sum_disc_c2,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS sum_qty_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_base_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS sum_disc_c2,
        count(*)::BIGINT AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -525,7 +532,8 @@ def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_JOIN_REVENUE_SQL = """
 SELECT n_name,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_c,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_c,
        count(*)::BIGINT AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -793,7 +801,8 @@ def q_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_MONTHLY_SQL = """
 SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
        count(*)::BIGINT AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_c
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_c
 FROM orders GROUP BY 1
 """
 
@@ -867,8 +876,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, 40).alias("text")
     )
+    # member_ids serialized to a scalar: the driver's canonicalizer
+    # sorts/hashes cells and cannot handle list cells (round-1 hard
+    # error: "unhashable type: 'list'")
     return exact_dup_groups(docs).select(
-        "content_sha", "group_size", "canonical_id", "member_ids"
+        "content_sha", "group_size", "canonical_id",
+        F.concat_ws(",", F.col("member_ids").cast("array<string>"))
+        .alias("member_ids"),
     )
 
 
@@ -876,7 +890,7 @@ Q_DEDUP_EXACT_SQL = """
 SELECT sha256(substr(text, 1, 40)) AS content_sha,
        count(*)::BIGINT AS group_size,
        min(doc_id) AS canonical_id,
-       list_sort(list(doc_id)) AS member_ids
+       array_to_string(list_sort(list(doc_id)), ',') AS member_ids
 FROM documents
 GROUP BY sha256(substr(text, 1, 40))
 HAVING count(*) > 1

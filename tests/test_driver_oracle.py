@@ -28,18 +28,30 @@ def ddb():
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirror of the driver's canonicalization — STRICTER than a
+    tolerant frame-compare on purpose:
+
+    - list/ndarray cells are REJECTED (the real driver crashes on them
+      — round-1 dedup_exact: "unhashable type: 'list'"), not converted;
+    - dtypes are preserved, so an int64-vs-float64 divergence (DuckDB
+      HUGEINT sum → float64 after pandas) fails here like the driver's
+      typed value-hash does, instead of being masked by
+      check_dtype=False.
+    """
     import numpy as np
 
     df = df.reindex(sorted(df.columns), axis=1)
-    # hash-stable value canon: floats rounded, list cells → tuples so
-    # sort_values can order array columns
     for c in df.columns:
         if df[c].dtype.kind == "f":
             df[c] = df[c].round(6)
         elif df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
-            )
+            bad = df[c].map(lambda v: isinstance(v, (list, np.ndarray)))
+            if bad.any():
+                raise TypeError(
+                    f"column {c!r} contains list cells — the driver's "
+                    f"canonicalizer cannot hash these; serialize to a "
+                    f"scalar (e.g. concat_ws) in BOTH dialects"
+                )
     return (
         df.sort_values(by=list(df.columns), ignore_index=True)
         if len(df) else df
@@ -59,6 +71,15 @@ def test_query_matches_oracle(spark, ddb, name):
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    # dtype KIND must agree (int vs float flips the driver's typed
+    # value-hash even when values are equal — the round-1 HUGEINT bug)
+    for c in got.columns:
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        assert gk == wk or {gk, wk} <= {"O", "U"}, (
+            f"{name}.{c}: dtype kind {gk!r} != oracle {wk!r} "
+            f"({got[c].dtype} vs {want[c].dtype}) — cast the oracle "
+            f"(e.g. CAST(sum(...) AS BIGINT))"
+        )
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-9
     )
