@@ -936,26 +936,67 @@ WHERE n_common * 1000000.0 / (sa.n_shingles + sb.n_shingles - n_common)
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, exact-verified (no SQL oracle —
-    seeded numpy permutations aren't SQL; correctness is pinned by
-    tests/test_dedup.py against exact Jaccard)."""
+    """MinHash+LSH near-dup pairs with candidate-gated exact
+    verification. The driver-facing columns are the EXACT values
+    (n_common, jaccard_micro), so the oracle is the same SQL as
+    ngram_jaccard — the equality check asserts the LSH blocking
+    (64 perms × 16 bands) recalled every true pair on this corpus
+    while touching only candidates."""
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.dedup import (
         minhash_lsh_pairs,
     )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return minhash_lsh_pairs(docs, threshold=0.12)
+    return minhash_lsh_pairs(docs, threshold=0.12).select(
+        "doc_a", "doc_b", "n_common", "jaccard_micro"
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only driver check; pinned by
-    pytest instead)."""
+    """SimHash near-dup pairs at the published 64-bit operating point
+    (hamming ≤ 3; 4-chunk pigeonhole blocking gives complete recall).
+    Term hashes use the sha256-prefix variant so the ENTIRE signature
+    computation is reproducible in DuckDB — full value oracle, not a
+    rows-only check."""
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.dedup import (
+        sha60_term_hash,
         simhash_pairs,
     )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return simhash_pairs(docs, max_hamming=8)
+    return simhash_pairs(docs, max_hamming=3, term_hash=sha60_term_hash)
+
+
+# DuckDB twin of the full SimHash pipeline: sha256-prefix 60-bit term
+# hash → tf-weighted sign-bit fold → all-pairs hamming ≤ 3 (the Spark
+# side's chunk blocking is recall-complete at this threshold, so its
+# output equals the all-pairs answer).
+Q_SIMHASH_SQL = f"""
+WITH
+  raw AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+  toks AS (SELECT doc_id, unnest(toks) AS term FROM raw),
+  tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         FROM toks GROUP BY doc_id, term),
+  th AS (SELECT doc_id, tf,
+                CAST(concat('0x', substr(sha256(term), 1, 15)) AS BIGINT) AS h
+         FROM tf),
+  bits AS (
+    SELECT doc_id, i,
+           sum(CASE WHEN ((h >> i) & 1) = 1 THEN tf ELSE -tf END) AS acc
+    FROM th CROSS JOIN range(60) AS t(i)
+    GROUP BY doc_id, i
+  ),
+  sig AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN acc > 0 THEN (1::BIGINT << i)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+  )
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1011,14 +1052,25 @@ SELECT query_id, rank, vec_id, cosine_micro FROM ranked WHERE rank <= 10
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (approximate — rows-only driver check;
-    recall vs exact is pinned by tests/test_similarity.py)."""
+    """Sign-LSH bucketed ANN. Full value oracle: the DuckDB twin
+    inlines the SAME seeded hyperplanes as float literals and
+    reproduces bucketing → multi-probe → candidate join → exact
+    re-score → top-k (similarity.duckdb_lsh_topk_sql)."""
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
         lsh_topk,
     )
 
     emb = load(spark, sf_dir, "embeddings")
     return lsh_topk(emb, _query_vecs(spark, sf_dir), k=10)
+
+
+def _ann_lsh_sql() -> str:
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        duckdb_lsh_topk_sql,
+    )
+
+    # driver embeddings tables are dim=64 at every sf
+    return duckdb_lsh_topk_sql(dim=64, k=10)
 
 
 # ---------------------------------------------------------------------------
@@ -1050,8 +1102,10 @@ FROM m
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing (rows-only; deterministic fake decode —
-    see operators/multimodal.py stubs)."""
+    """Frame-sampling plumbing (deterministic fake decode — see
+    operators/multimodal.py stubs). Value oracle: the driver corpus is
+    pure ASCII, so byte-stride slices == char slices and DuckDB
+    reproduces every frame sha via substr + sha256."""
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.multimodal import (
         frame_sample,
         synth_media,
@@ -1059,6 +1113,25 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return frame_sample(synth_media(docs), every_n_bytes=64, max_frames=4)
+
+
+Q_MEDIA_FRAMES_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['img','aud','vid'][(doc_id % 3) + 1] || '0' || text AS s
+  FROM documents
+),
+f AS (
+  SELECT media_id,
+         unnest(range(least(CAST(ceil(length(s) / 64.0) AS BIGINT), 4)))
+           AS fi,
+         s
+  FROM m
+)
+SELECT media_id, CAST(fi AS INT) AS frame_idx,
+       sha256(substr(s, CAST(fi * 64 + 1 AS BIGINT), 64)) AS frame_sha
+FROM f
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1129,9 +1202,13 @@ ORACLE_SQL: dict[str, str] = {
     "monthly": Q_MONTHLY_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
+    # one oracle, two physical plans: the LSH path must reproduce the
+    # exact-kernel answer (blocking recall + candidate-gated verify)
+    "minhash_lsh": Q_NGRAM_JACCARD_SQL,
+    "simhash": Q_SIMHASH_SQL,
     "ann_cosine": Q_ANN_COSINE_SQL,
+    "ann_lsh": _ann_lsh_sql(),
     "media_meta": Q_MEDIA_META_SQL,
-    # minhash_lsh / simhash / ann_lsh / media_frames: seeded-hash or
-    # stub-backed ops — rows-only driver check; pinned by pytest.
+    "media_frames": Q_MEDIA_FRAMES_SQL,
 }
 ORACLE_SQL.update(_text_sql())

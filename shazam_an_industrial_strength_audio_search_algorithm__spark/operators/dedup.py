@@ -82,23 +82,56 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              n: int = 3) -> DataFrame:
-    """Distinct token n-gram shingles per doc: (doc_id, shingle)."""
-    toks = tokens_col(F.col(text_col))
+    """Distinct token n-gram shingles per doc: (doc_id, shingle).
+
+    The token array is materialized ONCE per row before the shingle
+    HOF runs. Referencing the raw ``tokens_col(text)`` expression
+    inside the ``transform`` lambda re-embeds the regex tokenizer into
+    the lambda body, re-running it per array ELEMENT — O(tokens²) per
+    doc (measured 15 s for 5 k docs at sf0.1; ~1 s staged)."""
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("__toks"),
+    )
+    # barrier projection: explode(sequence) references __toks as a
+    # plain attribute, so Catalyst cannot CollapseProject the
+    # tokenizer back into the per-element lambda
+    t = F.col("__toks")
     grams = F.array_distinct(
         F.filter(
             F.transform(
-                toks,
-                lambda t, i: F.when(
-                    i + n <= F.size(toks),
-                    F.concat_ws(" ", *[F.element_at(toks, i + j + 1)
+                t,
+                lambda _, i: F.when(
+                    i + n <= F.size(t),
+                    F.concat_ws(" ", *[F.element_at(t, i + j + 1)
                                        for j in range(n)]),
                 ),
             ),
             lambda g: g.isNotNull(),
         )
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle")
+    return staged.select("doc_id", F.explode(grams).alias("shingle"))
+
+
+def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame,
+                        threshold: float) -> DataFrame:
+    """(doc_a, doc_b, n_common) + per-doc shingle sizes →
+    (doc_a, doc_b, n_common, jaccard_micro ≥ threshold)."""
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard_micro",
+            F.round(
+                F.col("n_common") * F.lit(1_000_000.0)
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_micro") >= int(threshold * 1_000_000))
+        .select("doc_a", "doc_b", "n_common", "jaccard_micro")
     )
 
 
@@ -107,7 +140,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         threshold: float = 0.8) -> DataFrame:
     """Exact Jaccard ≥ threshold pairs (doc_a < doc_b) over n-gram
     shingle sets, plus the intersection/union sizes (integers — the
-    driver-hash-stable form; jaccard_micro derived)."""
+    driver-hash-stable form; jaccard_micro derived).
+
+    Quadratic in df per shingle — this is the exact KERNEL; at scale
+    it only ever runs candidate-gated behind LSH blocking
+    (``exact_jaccard_for_pairs``)."""
     sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
@@ -119,22 +156,34 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                  F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"),
-                      F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"),
-                      F.col("n_shingles").alias("size_b"))
-    out = (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn(
-            "jaccard_micro",
-            F.round(
-                F.col("n_common") * F.lit(1_000_000.0)
-                / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
-            ).cast("long"),
-        )
-        .filter(F.col("jaccard_micro") >= int(threshold * 1_000_000))
+    return _jaccard_from_inter(inter, sizes, threshold)
+
+
+def exact_jaccard_for_pairs(df: DataFrame, cand: DataFrame,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            n: int = 3, threshold: float = 0.0) -> DataFrame:
+    """Exact shingle Jaccard computed ONLY for the given candidate
+    pairs (doc_a, doc_b) — the verify kernel behind LSH blocking.
+
+    Shape: cand ⋈ shingles(doc_a) ⋈ shingles(doc_b, shingle) — work is
+    O(candidate pairs × shingles per doc), never O(Σ df²) over the
+    corpus. Pairs sharing no shingle come back with n_common = 0."""
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+              ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
-    return out.select("doc_a", "doc_b", "n_common", "jaccard_micro")
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+    )
+    return _jaccard_from_inter(inter, sizes, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -238,22 +287,37 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     )
     if not verify:
         return est
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    # exact check on CANDIDATES ONLY — verification work is
+    # O(|candidates| × shingles/doc), never the all-pairs self-join
+    exact = exact_jaccard_for_pairs(
+        df, cand, id_col, text_col, n, threshold=threshold
+    )
     return (
-        est.join(exact, ["doc_a", "doc_b"], "left")
-        .withColumn("jaccard_micro", F.coalesce("jaccard_micro", F.lit(0)))
-        .filter(F.col("jaccard_micro") >= int(threshold * 1_000_000))
-        .select("doc_a", "doc_b", "est_jaccard_micro", "jaccard_micro")
+        est.join(exact, ["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "est_jaccard_micro",
+                "n_common", "jaccard_micro")
     )
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
+def sha60_term_hash(term_col):
+    """60-bit term hash from the sha256 hex prefix — bit-identical in
+    Spark (`conv`) and DuckDB (`CAST('0x…' AS BIGINT)`), so a SimHash
+    built on it is SQL-oracle-reproducible. Slower than xxhash64;
+    use only where cross-engine reproducibility matters."""
+    return F.conv(F.substring(F.sha2(term_col, 256), 1, 15), 16, 10).cast("long")
+
+
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       term_hash=F.xxhash64) -> DataFrame:
     """64-bit SimHash per doc from tf-weighted term-hash sign bits.
-    Term hashes are JVM xxhash64; the bit fold is a pandas UDF."""
+    Term hashes are JVM-side (xxhash64 by default; pass
+    ``sha60_term_hash`` for the DuckDB-reproducible variant — its top
+    4 bits are constant-zero, which only shrinks the code space);
+    the bit fold is a pandas UDF."""
 
     @F.pandas_udf(T.LongType())
     def fold(hashes: pd.Series, tfs: pd.Series) -> pd.Series:
@@ -280,7 +344,7 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
         .agg(F.count(F.lit(1)).alias("tf"))
         .groupBy("doc_id")
         .agg(
-            F.collect_list(F.xxhash64("term")).alias("hs"),
+            F.collect_list(term_hash(F.col("term"))).alias("hs"),
             F.collect_list("tf").alias("ws"),
         )
     )
@@ -289,19 +353,37 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _chunk_bounds(n_chunks: int) -> list[tuple[int, int]]:
+    """Split 64 bits into n_chunks contiguous (offset, width) spans,
+    widths as equal as possible."""
+    base, rem = divmod(64, n_chunks)
+    bounds, off = [], 0
+    for i in range(n_chunks):
+        w = base + (1 if i < rem else 0)
+        bounds.append((off, w))
+        off += w
+    return bounds
+
+
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming, blocked by
-    16-bit chunk equality (pigeonhole: any pair within hamming 3
-    shares at least one of 4 chunks)."""
-    sigs = simhash_signatures(df, id_col, text_col)
+                  text_col: str = "text", max_hamming: int = 3,
+                  term_hash=F.xxhash64) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming — COMPLETE
+    recall: blocking uses ``max_hamming + 1`` bit-chunks, so by
+    pigeonhole any pair within the threshold shares at least one
+    chunk. (Round-1 bug: fixed 4 chunks only guaranteed hamming ≤ 3
+    while callers asked for 8.) More chunks = narrower chunks = more
+    candidate collisions; keep max_hamming small (≤ 3 is the
+    published near-dup operating point for 64-bit SimHash)."""
+    n_chunks = min(max_hamming + 1, 64)
+    sigs = simhash_signatures(df, id_col, text_col, term_hash=term_hash)
     chunked = sigs.select(
         "doc_id", "simhash",
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                .bitwiseAND(F.lit(0xFFFF)).cast("int")
-                for i in range(4)
+                F.shiftrightunsigned(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << w) - 1)).cast("int")
+                for off, w in _chunk_bounds(n_chunks)
             ])
         ).alias("chunk_idx", "chunk"),
     )
@@ -324,7 +406,9 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     )
     return (
         cand.withColumn(
-            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("long"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

@@ -89,6 +89,77 @@ def _bucket_expr(v_col, planes: np.ndarray):
     return out.cast("int")
 
 
+def duckdb_lsh_topk_sql(dim: int, k: int = 10,
+                        n_planes: int = DEFAULT_PLANES,
+                        probe_flips: int = 1, seed: int = 13,
+                        queries_pred: str = "vec_id < 3") -> str:
+    """DuckDB twin of ``lsh_topk`` with the SAME seeded hyperplanes
+    inlined as float literals (``repr`` round-trips doubles exactly,
+    so both engines evaluate identical plane coefficients). This makes
+    the approximate operator fully value-checkable: the oracle
+    reproduces bucketing, multi-probe, candidate join, exact re-score,
+    and top-k — not just a rows-only count."""
+    planes = hyperplanes(dim, n_planes, seed)
+
+    def dot_lit(vcol: str, p: np.ndarray) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> {vcol}[i] * ({lit})[i]))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_lit('v', p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    flips = (
+        f"list_transform(range(0, {n_planes}), "
+        f"i -> CAST(xor(CAST(qbucket AS BIGINT), (1::BIGINT << i)) AS INT))"
+        if probe_flips >= 1
+        else "[]"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS vnorm,
+         CAST({bucket} AS INT) AS bucket
+  FROM base
+),
+qs AS (
+  SELECT 'v' || vec_id AS query_id, v AS q, vnorm AS qnorm,
+         bucket AS qbucket
+  FROM bucketed WHERE {queries_pred}
+),
+probes AS (
+  SELECT query_id, q, qnorm,
+         unnest(list_prepend(qbucket, {flips})) AS probe
+  FROM qs
+),
+cand AS (
+  SELECT DISTINCT p.query_id, b.vec_id,
+         CAST(round(
+           list_sum(list_transform(range(1, {dim + 1}),
+                                   i -> b.v[i] * p.q[i]))
+           * 1000000.0 / (b.vnorm * p.qnorm)
+         ) AS BIGINT) AS cosine_micro
+  FROM bucketed b JOIN probes p ON b.bucket = p.probe
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine_micro,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine_micro DESC, vec_id ASC
+         )::BIGINT AS rank
+  FROM cand
+)
+SELECT query_id, rank, vec_id, cosine_micro FROM ranked WHERE rank <= {k}
+"""
+
+
 def lsh_topk(emb: DataFrame, query_vecs: DataFrame, k: int = 10,
              n_planes: int = DEFAULT_PLANES, probe_flips: int = 1,
              seed: int = 13,

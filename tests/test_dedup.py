@@ -81,6 +81,39 @@ def test_simhash_finds_planted_near_dups(spark, dup_df):
     assert sum(1 for (a, b) in got if 102 in (a, b)) <= 2
 
 
+def test_simhash_blocking_recall_complete(spark, dup_df):
+    """The chunk blocking must be recall-COMPLETE for the requested
+    threshold (round-1 bug: fixed 4 chunks silently dropped pairs with
+    hamming 4–8). Ground truth = brute-force all-pairs hamming over
+    the signatures; simhash_pairs must return exactly the pairs ≤ h,
+    including ones beyond the old 4-chunk guarantee (h > 3)."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.dedup import (
+        simhash_signatures,
+    )
+
+    h = 7
+    sigs = simhash_signatures(dup_df)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= h)
+        .collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(dup_df, max_hamming=h).collect()
+    }
+    assert got == brute
+    # the old 4-chunk scheme only guaranteed hamming ≤ 3: the corpus
+    # must contain at least one harder pair for this test to bite
+    assert any(v > 3 for v in brute.values()), (
+        "fixture too easy — no pair with hamming in 4..7"
+    )
+
+
 def test_embedding_neardup(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     pairs = embedding_neardup_pairs(emb.limit(100), threshold=0.99).collect()
