@@ -142,12 +142,14 @@ SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT 100
 
 def q_doc_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → token count (BM25 length-normalization input;
-    ↔ the reference's per-doc ``max_time``, _Shazam_.py:278)."""
-    idx = docs_index(spark, sf_dir)
-    return (
-        idx.doc_terms.groupBy("doc_id")
-        .agg(F.first("doc_len").cast("long").alias("doc_len"))
-    )
+    ↔ the reference's per-doc ``max_time``, _Shazam_.py:278).
+    Computed NARROW from the corpus (zero shuffle) — doc_len is a
+    per-doc constant; recovering it by grouping the postings would
+    shuffle the whole index (round-1 verdict #5)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("doc_len")
+    ).filter(F.col("doc_len") > 0)
 
 
 Q_DOC_LEN_SQL = f"""
@@ -424,8 +426,7 @@ def q_bm25_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = docs_segment_index(spark, sf_dir)
     qt = query_terms(queries_df(spark))
-    terms = [r["term"] for r in qt.select("term").distinct().collect()]
-    postings = idx.postings_for_terms(terms)
+    postings = idx.postings_for_query_terms(qt)
     scored = (
         postings.join(F.broadcast(qt), "term")
         .withColumn(

@@ -176,15 +176,23 @@ def term_stats(doc_terms: DataFrame) -> DataFrame:
     return doc_terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
 
-def corpus_stats(doc_terms: DataFrame) -> tuple[int, float]:
+def corpus_stats(corpus: DataFrame, text_col: str = "content") -> tuple[int, float]:
     """(N, avgdl) — global scalars, computed once and broadcast into
-    the score expression as literals (never re-shuffled)."""
+    the score expression as literals (never re-shuffled). NARROW over
+    the corpus (``size(tokens)`` per row + one partial agg) — never
+    recovered by grouping the postings, which would shuffle the whole
+    index to fetch a per-doc constant (round-1 verdict #5). Docs that
+    tokenize to nothing are excluded (they hold no postings)."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.functions.tokenize import (
+        tokens_col,
+    )
+
     row = (
-        doc_terms.select("doc_id", "doc_len")
-        .groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
+        corpus.select(F.size(tokens_col(F.col(text_col))).alias("dl"))
+        .filter(F.col("dl") > 0)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.avg("doc_len").alias("avgdl"),
+            F.avg("dl").alias("avgdl"),
         )
         .collect()[0]
     )
@@ -210,5 +218,5 @@ class InvertedIndex:
         dt = build_doc_terms(corpus, id_col, text_col)
         if cache:
             dt = dt.cache()
-        n, avgdl = corpus_stats(dt)
+        n, avgdl = corpus_stats(corpus, text_col)
         return cls(doc_terms=dt, term_stats=term_stats(dt), n_docs=n, avgdl=avgdl)

@@ -551,19 +551,27 @@ class SegmentIndex:
         return self.spark.createDataFrame([], schema)
 
     def _read_buckets(self, kind: str, buckets: list[int] | None) -> DataFrame:
-        """Union of per-bucket parquet scans with the bucket id
-        re-attached. Path selection IS the partition pruning — after
-        updates, different buckets live in different generations, so
-        pruning by explicit path beats directory-discovery. Buckets
-        that ended up empty (no file written) read as empty frames."""
+        """Per-generation ``basePath`` parquet scans over the
+        snapshot's bucket paths, so ``bucket`` is a REAL partition
+        column (``bucket=K`` dirs) — statically path-pruned when a
+        bucket list is given, and eligible for dynamic partition
+        pruning when joined against a broadcast query-term side
+        (``blocks_for_query_terms``). After updates, different buckets
+        live in different generations; grouping by generation root
+        keeps one scan per generation. Buckets that ended up empty
+        (no file written) read as empty frames."""
         bs = list(range(self.n_buckets)) if buckets is None else list(buckets)
-        dfs = []
+        by_root: dict[str, list[str]] = {}
         for b in bs:
-            path = f"{self.index_dir}/{self.snapshot['buckets'][str(b)][kind]}"
+            rel = self.snapshot["buckets"][str(b)][kind]
+            path = f"{self.index_dir}/{rel}"
             if os.path.exists(path):
-                dfs.append(
-                    self.spark.read.parquet(path).withColumn("bucket", F.lit(b))
-                )
+                root = os.path.dirname(path)
+                by_root.setdefault(root, []).append(path)
+        dfs = [
+            self.spark.read.option("basePath", root).parquet(*paths)
+            for root, paths in sorted(by_root.items())
+        ]
         if not dfs:
             return self._empty(kind)
         out = dfs[0]
@@ -585,20 +593,50 @@ class SegmentIndex:
     def blocks_for_terms(self, terms: list[str]) -> DataFrame:
         """Bucket-pruned + term-predicate-pushed block scan — the
         reference's 'touch only LUT entries for the query keys'
-        access path (SURVEY §4), done by the storage layer."""
+        access path (SURVEY §4), done by the storage layer. For
+        driver-known term lists (interactive / small batches): the
+        ``isin`` predicate reaches parquet row-group stats. For term
+        sets living in a DataFrame, use ``blocks_for_query_terms``
+        (collect-free)."""
         buckets = resolve_buckets(self.spark, terms, self.n_buckets)
         if not buckets:
             return self.segments([0]).filter(F.lit(False))
         return self.segments(buckets).filter(F.col("term").isin(terms))
 
-    def postings_for_terms(self, terms: list[str]) -> DataFrame:
+    def blocks_for_query_terms(self, qt: DataFrame) -> DataFrame:
+        """Collect-free block access: the (tiny) distinct-term frame
+        broadcasts and inner-joins the block scan on (bucket, term).
+        ``bucket`` is a partition column and the dim side carries a
+        selective predicate, so Spark plans DYNAMIC PARTITION PRUNING
+        — untouched buckets' files are never listed into tasks, with
+        zero driver-side collection of the term set (the round-1
+        reviewer's large-query-batch bottleneck). Output = block rows
+        (one per block even if a term serves many queries)."""
+        qtb = (
+            qt.select("term").distinct()
+            # a selective predicate on the build side is what makes
+            # Spark's DPP planner inject the pruning subquery
+            .filter(F.col("term") != "")
+            .withColumn("bucket", bucket_col(F.col("term"), self.n_buckets))
+        )
+        return self.segments(None).join(F.broadcast(qtb), ["bucket", "term"])
+
+    def _spread(self, blocks: DataFrame) -> DataFrame:
         # spread the decode: compressed blocks are few MB (file-packing
         # would scan them in 1-2 partitions) but varint decode is
         # CPU-bound — a cheap round-robin repartition parallelizes it
         n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        return self.blocks_for_terms(terms).repartition(n_part).mapInPandas(
+        return blocks.repartition(n_part).mapInPandas(
             _decode_partition, schema=DECODED_SCHEMA
         )
+
+    def postings_for_terms(self, terms: list[str]) -> DataFrame:
+        return self._spread(self.blocks_for_terms(terms))
+
+    def postings_for_query_terms(self, qt: DataFrame) -> DataFrame:
+        """Decoded postings for every distinct term in ``qt`` —
+        collect-free (see ``blocks_for_query_terms``)."""
+        return self._spread(self.blocks_for_query_terms(qt))
 
     def idf(self, df: int) -> float:
         return idf_py(df, self.n_docs)
@@ -613,19 +651,19 @@ def segment_topk(
 ) -> DataFrame:
     """BM25 top-k over the persisted segment index.
 
-    Plan: query terms (tiny, collected once, broadcast) ⋈ block scan
-    (bucket partition-pruned, term predicate pushed to parquet) →
-    ``mapInPandas`` varint decode → score (doc_len inline, no norms
-    join) → groupBy(query, doc) sum → row_number ≤ k. Semantics
-    identical to operators/topk.bm25_topk (tests/test_segments.py).
+    Plan: query terms (tiny, broadcast — NEVER collected to the
+    driver) ⋈ block scan (bucket partitions dynamically pruned from
+    the broadcast side) → ``mapInPandas`` varint decode → score
+    (doc_len inline, no norms join) → groupBy(query, doc) sum →
+    row_number ≤ k. Semantics identical to operators/topk.bm25_topk
+    (tests/test_segments.py).
     """
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.topk import (
         query_terms,
     )
 
     qt = query_terms(queries, id_col, text_col)
-    terms = [r["term"] for r in qt.select("term").distinct().collect()]
-    postings = index.postings_for_terms(terms)
+    postings = index.postings_for_query_terms(qt)
     scored = (
         postings.join(F.broadcast(qt), "term")
         .withColumn(

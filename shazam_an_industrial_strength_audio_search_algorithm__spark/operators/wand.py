@@ -196,8 +196,9 @@ def wand_topk(
     )
 
     qt = query_terms(queries, id_col, text_col)
-    terms = [r["term"] for r in qt.select("term").distinct().collect()]
-    blocks = index.blocks_for_terms(terms).select(
+    # collect-free: bucket partitions prune dynamically from the
+    # broadcast term side; no term list ever reaches the driver
+    blocks = index.blocks_for_query_terms(qt).select(
         "term", "df", "salt", "block_seq", "doc_id_lo", "doc_id_hi",
         "max_tf", "min_dl", "payload",
     )

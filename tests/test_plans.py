@@ -41,9 +41,12 @@ def test_bm25_query_side_is_broadcast(spark):
 
 
 def test_segment_query_plan(spark, corpus_df, tmp_path):
-    """Segment top-k: term predicate reaches the parquet scan; the
-    query side broadcasts; shuffle count stays bounded (decode
-    spread + score agg + window — no accidental extra exchanges)."""
+    """Segment top-k (collect-free path): bucket partitions prune
+    DYNAMICALLY from the broadcast query-term side (no driver-side
+    term collect); the query side broadcasts; shuffle count stays
+    bounded (decode spread + score agg + window — no accidental extra
+    exchanges). The driver-known-terms path (blocks_for_terms) keeps
+    static parquet predicate pushdown — asserted separately."""
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.index_build import (
         with_doc_id,
     )
@@ -61,10 +64,30 @@ def test_segment_query_plan(spark, corpus_df, tmp_path):
         [("q0", "tok0001 tok0002 uniq00003doc")], "query_id string, text string"
     )
     df = segment_topk(idx, q, k=5)
-    assert any("term" in f for f in pushed_filters(df)), pushed_filters(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "bucket partition pruning must be planned dynamically from the "
+        "broadcast term side"
+    )
     assert has_broadcast_join(df)
-    # exactly: decode-spread repartition + score groupBy + rank window
-    assert count_shuffles(df) <= 3, count_shuffles(df)
+    # heavy-side: decode-spread repartition + score groupBy + rank
+    # window; plus up to 2 KB-sized dim-side exchanges (query-term
+    # distinct feeding the DPP broadcast) — bounded, not data-scaled
+    assert count_shuffles(df) <= 5, count_shuffles(df)
+    # static path: term predicate reaches the parquet scan
+    blocks = idx.blocks_for_terms(["tok0001", "tok0002"])
+    assert any("term" in f for f in pushed_filters(blocks)), (
+        pushed_filters(blocks)
+    )
+
+
+def test_doc_len_is_narrow(spark):
+    """doc_len is a per-doc constant — it must come off the corpus
+    scan narrow, never via a groupBy over the postings (round-1
+    verdict #5: a full index shuffle at 100×)."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark import api
+
+    assert count_shuffles(api.q_doc_len(spark, SF)) == 0
 
 
 def test_narrow_ops_have_no_shuffle(spark):
