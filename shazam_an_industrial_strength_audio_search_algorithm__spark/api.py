@@ -85,9 +85,13 @@ def docs_segment_index(spark: SparkSession, sf_dir: str):
             F.col("doc_id"),
         )
         d = tempfile.mkdtemp(prefix="driver_segidx_")
+        # store_positions=True: the SAME persisted index serves both
+        # BM25 (bm25_segment) and positional verification
+        # (positional_segment) — positions ride in a trailing payload
+        # section the BM25 decode path skips
         build_segment_index(spark, docs, d, n_buckets=4, hot_df=64,
                             block_size=64, id_col="doc_id",
-                            text_col="content")
+                            text_col="content", store_positions=True)
         _SEG_CACHE[sf_dir] = d
     return SegmentIndex.open(spark, _SEG_CACHE[sf_dir])
 
@@ -412,6 +416,66 @@ FROM pos a JOIN pos b
   ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
 WHERE a.term = 'hash' AND b.term = 'join'
 GROUP BY a.doc_id
+"""
+
+
+def q_positional_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General positional verification over the flagship queries — the
+    offset-histogram vote (count_number_match, _Shazam_.py:309-351)
+    for ARBITRARY queries: per (query, candidate), the best-aligned
+    offset delta and its vote count (v1 in-memory index path)."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.positional import (
+        positional_verify,
+    )
+
+    idx = docs_index(spark, sf_dir)
+    return positional_verify(idx.doc_terms, queries_df(spark))
+
+
+def q_positional_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics through the PERSISTED path: positions decoded
+    from the varint block section (store_positions=True) — one oracle,
+    two physical plans, like bm25_topk/bm25_segment."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.positional import (
+        positional_verify,
+        query_term_positions,
+    )
+
+    idx = docs_segment_index(spark, sf_dir)
+    qs = queries_df(spark)
+    qtp = query_term_positions(qs)
+    postings = idx.postings_for_query_terms(qtp, with_positions=True)
+    return positional_verify(postings, qs)
+
+
+Q_POSITIONAL_SQL = f"""
+WITH
+  raw AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+  pos AS (SELECT doc_id, unnest(toks) AS term,
+                 unnest(range(len(toks))) AS pos
+          FROM raw),
+  qv(query_id, qtext) AS (VALUES {_Q_VALUES}),
+  qraw AS (SELECT query_id, {DUCKDB_TOKENS_SQL.format(col="qtext")} AS toks
+           FROM qv),
+  qp AS (SELECT query_id, unnest(toks) AS term,
+                unnest(range(len(toks))) AS qpos
+         FROM qraw),
+  d AS (
+    SELECT qp.query_id, pos.doc_id,
+           CAST(pos.pos - qp.qpos AS BIGINT) AS delta,
+           count(*)::BIGINT AS votes
+    FROM qp JOIN pos USING (term)
+    GROUP BY 1, 2, 3
+  ),
+  r AS (
+    SELECT query_id, doc_id, delta, votes,
+           row_number() OVER (
+             PARTITION BY query_id, doc_id ORDER BY votes DESC, delta ASC
+           ) AS rn
+    FROM d
+  )
+SELECT query_id, doc_id, delta AS best_delta, votes AS aligned_count
+FROM r WHERE rn = 1
 """
 
 
@@ -1149,6 +1213,8 @@ QUERIES: dict[str, callable] = {
     "match_or_nil": q_match_or_nil,
     "match_stats": q_match_stats,
     "phrase_match": q_phrase_match,
+    "positional_verify": q_positional_verify,
+    "positional_segment": q_positional_segment,
     "unindexed": q_unindexed,
     # relational operators
     "scan_agg": q_scan_agg,
@@ -1189,6 +1255,8 @@ ORACLE_SQL: dict[str, str] = {
     "match_or_nil": Q_MATCH_OR_NIL_SQL,
     "match_stats": Q_MATCH_STATS_SQL,
     "phrase_match": Q_PHRASE_MATCH_SQL,
+    "positional_verify": Q_POSITIONAL_SQL,
+    "positional_segment": Q_POSITIONAL_SQL,  # one oracle, two plans
     "unindexed": Q_UNINDEXED_SQL,
     "scan_agg": Q_SCAN_AGG_SQL,
     "join_revenue": Q_JOIN_REVENUE_SQL,

@@ -205,6 +205,7 @@ def apply_updates(
             hot_df=base_snap["hot_df"],
             max_salt_bits=base_snap["max_salt_bits"],
             block_size=base_snap["block_size"],
+            store_positions=base_snap.get("store_positions", False),
         )
 
     done = all(

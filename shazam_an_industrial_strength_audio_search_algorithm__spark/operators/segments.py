@@ -126,11 +126,14 @@ def resolve_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> li
     return sorted(r["b"] for r in rows)
 
 
-def _encode_groups(avgdl: float, block_size: int):
+def _encode_groups(avgdl: float, block_size: int,
+                   store_positions: bool = False):
     """applyInPandas group encoder: one (bucket, term, salt) group of
     postings → block rows, sorted by doc_id. ``df`` joins in after
     (block rows are tiny compared to postings — attaching df via a
-    block-side join beats a full-row window over the postings)."""
+    block-side join beats a full-row window over the postings).
+    With ``store_positions`` the per-doc occurrence offsets ride in a
+    trailing delta-varint section of the same payload."""
 
     def fn(key, pdf: pd.DataFrame):
         bucket, term, salt = int(key[0]), key[1], int(key[2])
@@ -138,10 +141,19 @@ def _encode_groups(avgdl: float, block_size: int):
         ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
         tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
         dls = pdf["doc_len"].to_numpy()[order].astype(np.int64)
+        pos_lists = (
+            pdf["positions"].to_numpy()[order] if store_positions else None
+        )
         tfnorm = tfs / (tfs + K1 * (1.0 - B + B * dls.astype(np.float64) / avgdl))
         rows = []
         for seq, s in enumerate(range(0, len(ids), block_size)):
             e = min(s + block_size, len(ids))
+            pos = (
+                np.concatenate([np.asarray(p, dtype=np.int64)
+                                for p in pos_lists[s:e]])
+                if store_positions
+                else None
+            )
             rows.append(
                 {
                     "bucket": bucket,
@@ -154,7 +166,7 @@ def _encode_groups(avgdl: float, block_size: int):
                     "max_tf": int(tfs[s:e].max()),
                     "min_dl": int(dls[s:e].min()),
                     "max_tfnorm": float(tfnorm[s:e].max()),
-                    "payload": encode_block(ids[s:e], tfs[s:e], dls[s:e]),
+                    "payload": encode_block(ids[s:e], tfs[s:e], dls[s:e], pos),
                 }
             )
         return pd.DataFrame(rows)
@@ -200,6 +212,7 @@ def build_buckets_batch(
     hot_df: int,
     max_salt_bits: int,
     block_size: int,
+    store_positions: bool = False,
 ) -> None:
     """Build segments for a batch of buckets in ONE Spark job, then
     commit each bucket's manifest (idempotent: dynamic partition
@@ -216,10 +229,13 @@ def build_buckets_batch(
     """
     if not buckets:
         return
+    cols = ["bucket", "term", "doc_id", "tf", "doc_len"]
+    if store_positions:
+        cols.insert(4, "positions")
     dt = (
         spark.read.parquet(dt_path)
         .filter(F.col("bucket").isin(buckets))
-        .select("bucket", "term", "doc_id", "tf", "doc_len")
+        .select(*cols)
     )
     term_df = dt.groupBy("bucket", "term").agg(
         F.count(F.lit(1)).alias("df")
@@ -258,7 +274,10 @@ def build_buckets_batch(
     blocks = (
         salted.repartition(n_part, "bucket", "term", "salt")
         .groupBy("bucket", "term", "salt")
-        .applyInPandas(_encode_groups(avgdl, block_size), schema=BLOCK_CORE_SCHEMA)
+        .applyInPandas(
+            _encode_groups(avgdl, block_size, store_positions),
+            schema=BLOCK_CORE_SCHEMA,
+        )
     )
     out = blocks.join(term_df, ["bucket", "term"]).select(
         "bucket", "term", "df", "salt", "block_seq", "doc_id_lo",
@@ -411,6 +430,7 @@ def build_segment_index(
     build_buckets_batch(
         spark, index_dir, gen, built, dt_path, avgdl, params["n_docs"],
         params["hot_df"], params["max_salt_bits"], params["block_size"],
+        store_positions=params.get("store_positions", False),
     )
     timings["phase_b_segments"] = _time.monotonic() - _t0
 
@@ -468,27 +488,35 @@ DECODED_SCHEMA = T.StructType(
     ]
 )
 
+DECODED_SCHEMA_POS = T.StructType(
+    DECODED_SCHEMA.fields
+    + [T.StructField("positions", T.ArrayType(T.LongType()))]
+)
 
-def _decode_partition(it):
+
+def _decode_partition(it, with_positions: bool = False):
     cols = ["term", "df", "doc_id", "tf", "doc_len"]
     for pdf in it:
         outs = []
         for term, df, payload in zip(pdf["term"], pdf["df"], pdf["payload"]):
-            ids, tfs, dls = decode_block(bytes(payload))
-            outs.append(
-                pd.DataFrame(
-                    {"term": term, "df": int(df), "doc_id": ids,
-                     "tf": tfs, "doc_len": dls}
-                )
-            )
-        yield (
-            pd.concat(outs, ignore_index=True)
-            if outs
-            else pd.DataFrame(
-                {c: pd.Series(dtype="int64" if c != "term" else "object")
+            if with_positions:
+                ids, tfs, dls, flat = decode_block(bytes(payload), True)
+                pos = np.split(flat, np.cumsum(tfs)[:-1])
+            else:
+                ids, tfs, dls = decode_block(bytes(payload))
+            d = {"term": term, "df": int(df), "doc_id": ids,
+                 "tf": tfs, "doc_len": dls}
+            if with_positions:
+                d["positions"] = pos
+            outs.append(pd.DataFrame(d))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+        else:
+            d = {c: pd.Series(dtype="int64" if c != "term" else "object")
                  for c in cols}
-            )
-        )
+            if with_positions:
+                d["positions"] = pd.Series(dtype="object")
+            yield pd.DataFrame(d)
 
 
 @dataclass
@@ -621,22 +649,31 @@ class SegmentIndex:
         )
         return self.segments(None).join(F.broadcast(qtb), ["bucket", "term"])
 
-    def _spread(self, blocks: DataFrame) -> DataFrame:
+    def _spread(self, blocks: DataFrame,
+                with_positions: bool = False) -> DataFrame:
         # spread the decode: compressed blocks are few MB (file-packing
         # would scan them in 1-2 partitions) but varint decode is
         # CPU-bound — a cheap round-robin repartition parallelizes it
+        if with_positions and not self.snapshot.get("store_positions", False):
+            raise ValueError(
+                "index was built with store_positions=False — "
+                "positions are not in the blocks"
+            )
         n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         return blocks.repartition(n_part).mapInPandas(
-            _decode_partition, schema=DECODED_SCHEMA
+            lambda it: _decode_partition(it, with_positions),
+            schema=DECODED_SCHEMA_POS if with_positions else DECODED_SCHEMA,
         )
 
-    def postings_for_terms(self, terms: list[str]) -> DataFrame:
-        return self._spread(self.blocks_for_terms(terms))
+    def postings_for_terms(self, terms: list[str],
+                           with_positions: bool = False) -> DataFrame:
+        return self._spread(self.blocks_for_terms(terms), with_positions)
 
-    def postings_for_query_terms(self, qt: DataFrame) -> DataFrame:
+    def postings_for_query_terms(self, qt: DataFrame,
+                                 with_positions: bool = False) -> DataFrame:
         """Decoded postings for every distinct term in ``qt`` —
         collect-free (see ``blocks_for_query_terms``)."""
-        return self._spread(self.blocks_for_query_terms(qt))
+        return self._spread(self.blocks_for_query_terms(qt), with_positions)
 
     def idf(self, df: int) -> float:
         return idf_py(df, self.n_docs)

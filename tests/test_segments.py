@@ -146,3 +146,55 @@ def test_bucket_pruning_reads_subset(spark, built, index_dir):
     one = seg.blocks_for_terms(["tok0000"])
     buckets = {r["bucket"] for r in one.select("bucket").distinct().collect()}
     assert len(buckets) == 1
+
+
+def test_positions_roundtrip_through_segments(spark, corpus_df, tmp_path):
+    """store_positions=True: per-doc occurrence offsets survive the
+    varint block codec exactly (segment postings == v1 doc_terms),
+    and the positional verifier gives identical answers on both
+    paths. The same payloads still serve the positions-free BM25
+    decode (trailing section skipped)."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.positional import (
+        positional_verify,
+        query_term_positions,
+    )
+
+    corpus = with_doc_id(corpus_df)
+    d = str(tmp_path / "posidx")
+    build_segment_index(spark, corpus, d, n_buckets=4, hot_df=8,
+                        block_size=16, store_positions=True)
+    seg = SegmentIndex.open(spark, d)
+    v1 = InvertedIndex.build(corpus, text_col="content")
+
+    queries = spark.createDataFrame(
+        [("q0", "tok0001 tok0002"), ("q1", "uniq00003doc tok0004 tok0001")],
+        "query_id string, text string",
+    )
+    qtp = query_term_positions(queries)
+
+    # postings parity including positions
+    got = {
+        (r["term"], r["doc_id"]): list(r["positions"])
+        for r in seg.postings_for_query_terms(qtp, with_positions=True)
+        .collect()
+    }
+    qterms = [r["term"] for r in qtp.select("term").distinct().collect()]
+    want = {
+        (r["term"], r["doc_id"]): list(r["positions"])
+        for r in v1.doc_terms.filter(F.col("term").isin(qterms)).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # positional_verify parity: persisted path == v1 path
+    pv_seg = positional_verify(
+        seg.postings_for_query_terms(qtp, with_positions=True), queries
+    )
+    pv_v1 = positional_verify(v1.doc_terms, queries)
+    key = lambda r: (r["query_id"], r["doc_id"])  # noqa: E731
+    a = {key(r): (r["best_delta"], r["aligned_count"]) for r in pv_seg.collect()}
+    b = {key(r): (r["best_delta"], r["aligned_count"]) for r in pv_v1.collect()}
+    assert a == b and len(a) > 0
+
+    # positions-free decode of the same blocks still works (BM25 path)
+    n = seg.postings_for_query_terms(qtp).count()
+    assert n == len(got)
