@@ -330,6 +330,119 @@ FROM qv LEFT JOIN agg USING (query_id)
 """
 
 
+def q_match_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-compat decision (first-above-threshold in
+    candidate-count order, Matching.py:120-139) — the promised W3
+    compat mode, vs q_match_or_nil's engine-mode global best."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.topk import (
+        decide_compat,
+    )
+
+    scores = _bm25_micro_scores(spark, sf_dir).select(
+        "query_id", "doc_id",
+        F.col("score_micro").alias("score"), "matched_terms",
+    )
+    out = decide_compat(scores, queries_df(spark), threshold=2_000_000)
+    return out.select(
+        "query_id", "matched_doc_id",
+        F.col("matched_score").alias("matched_score_micro"),
+        "second_doc_id",
+        F.col("second_score").alias("second_score_micro"),
+        "n_candidates",
+    )
+
+
+Q_MATCH_COMPAT_SQL = f"""
+WITH {_BM25_MICRO_CTES},
+  ranked AS (
+    SELECT query_id, doc_id, score_micro, matched_terms,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY matched_terms DESC, doc_id ASC
+           ) AS cand_rank
+    FROM scored
+  ),
+  m AS (
+    SELECT query_id, doc_id, score_micro, cand_rank,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY cand_rank ASC
+           ) AS rn
+    FROM ranked WHERE score_micro > 2000000
+  ),
+  m1 AS (
+    SELECT query_id, doc_id AS matched_doc_id,
+           score_micro AS matched_score_micro, cand_rank AS mrank
+    FROM m WHERE rn = 1
+  ),
+  scanned AS (
+    SELECT r.query_id, r.doc_id, r.score_micro, r.cand_rank
+    FROM ranked r LEFT JOIN m1 USING (query_id)
+    WHERE m1.mrank IS NULL OR r.cand_rank < m1.mrank
+  ),
+  s AS (
+    SELECT query_id, doc_id, score_micro,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY score_micro DESC, cand_rank ASC
+           ) AS rn
+    FROM scanned
+  ),
+  s1 AS (
+    SELECT query_id, doc_id AS second_doc_id,
+           score_micro AS second_score_micro
+    FROM s WHERE rn = 1
+  ),
+  n AS (SELECT query_id, count(*)::BIGINT AS n_candidates
+        FROM scored GROUP BY query_id)
+SELECT qv.query_id, m1.matched_doc_id, m1.matched_score_micro,
+       s1.second_doc_id, s1.second_score_micro,
+       COALESCE(n.n_candidates, 0) AS n_candidates
+FROM qv
+LEFT JOIN m1 USING (query_id)
+LEFT JOIN s1 USING (query_id)
+LEFT JOIN n USING (query_id)
+"""
+
+
+def q_db2qry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's inverted match report (db2qry multimap,
+    Combine.py:68-86): per matched doc, its matched queries sorted +
+    counted."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.topk import (
+        db2qry,
+    )
+
+    threshold_micro = 2_000_000
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    decisions = (
+        _bm25_micro_scores(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w_q))
+        .filter((F.col("rn") == 1) & (F.col("score_micro") > threshold_micro))
+        .select("query_id", F.col("doc_id").alias("matched_doc_id"))
+    )
+    return db2qry(decisions)
+
+
+Q_DB2QRY_SQL = f"""
+WITH {_BM25_MICRO_CTES},
+  ranked AS (
+    SELECT query_id, doc_id, score_micro,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC
+           ) AS rn
+    FROM scored
+  ),
+  top1 AS (
+    SELECT query_id, doc_id FROM ranked
+    WHERE rn = 1 AND score_micro > 2000000
+  )
+SELECT doc_id, count(*)::BIGINT AS n_queries,
+       string_agg(query_id, ',' ORDER BY query_id) AS query_ids
+FROM top1 GROUP BY doc_id
+"""
+
+
 def q_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GetStats report (SURVEY §2.1 S5, §2.5 W5,
     ``GetStats.py:55-81``): per matched doc, its matched queries
@@ -1211,7 +1324,9 @@ QUERIES: dict[str, callable] = {
     "bm25_topk": q_bm25_topk,
     "bm25_segment": q_bm25_segment,
     "match_or_nil": q_match_or_nil,
+    "match_compat": q_match_compat,
     "match_stats": q_match_stats,
+    "db2qry": q_db2qry,
     "phrase_match": q_phrase_match,
     "positional_verify": q_positional_verify,
     "positional_segment": q_positional_segment,
@@ -1253,7 +1368,9 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk": Q_BM25_TOPK_SQL,
     "bm25_segment": Q_BM25_TOPK_SQL,  # one oracle, two physical plans
     "match_or_nil": Q_MATCH_OR_NIL_SQL,
+    "match_compat": Q_MATCH_COMPAT_SQL,
     "match_stats": Q_MATCH_STATS_SQL,
+    "db2qry": Q_DB2QRY_SQL,
     "phrase_match": Q_PHRASE_MATCH_SQL,
     "positional_verify": Q_POSITIONAL_SQL,
     "positional_segment": Q_POSITIONAL_SQL,  # one oracle, two plans

@@ -91,6 +91,90 @@ def bm25_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
     )
 
 
+def decide_compat(scores: DataFrame, queries: DataFrame, threshold: float,
+                  id_col: str = "query_id") -> DataFrame:
+    """Reference-COMPAT decision mode (SURVEY §2.5 W3,
+    ``Matching.py:120-139``): candidates are evaluated in
+    candidate-count order (``num_union`` DESC — the ``searchLUT``
+    Counter order, with doc_id ASC as the deterministic tie-break
+    replacing Counter insertion order), and the FIRST one whose score
+    crosses the threshold wins — even if a later candidate scores
+    higher. ``second`` reproduces the running ``max_so_far`` over the
+    candidates scanned BEFORE the break (strict-improvement update ⇒
+    earliest candidate among equal scores); with no match it is the
+    best-scoring candidate overall. Engine mode (global best) is
+    ``decide`` — the two diverge exactly when a lower-count candidate
+    outscores an earlier above-threshold one (tests/test_rank_identity
+    pins a constructed divergence).
+
+    ``scores``: (query_id, doc_id, score, matched_terms) — the full
+    candidate set (``bm25_scores``), not a top-k cut.
+    """
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("matched_terms").desc(), F.col("doc_id").asc()
+    )
+    ranked = scores.withColumn("cand_rank", F.row_number().over(w_cand))
+    w_first = Window.partitionBy("query_id").orderBy(F.col("cand_rank").asc())
+    match = (
+        ranked.filter(F.col("score") > F.lit(threshold))
+        .withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("doc_id").alias("matched_doc_id"),
+            F.col("score").alias("matched_score"),
+            F.col("cand_rank").alias("_mrank"),
+        )
+    )
+    scanned = ranked.join(
+        match.select("query_id", "_mrank"), "query_id", "left"
+    ).filter(
+        F.col("_mrank").isNull() | (F.col("cand_rank") < F.col("_mrank"))
+    )
+    w_best = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("cand_rank").asc()
+    )
+    second = (
+        scanned.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("doc_id").alias("second_doc_id"),
+            F.col("score").alias("second_score"),
+        )
+    )
+    n_c = scores.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    qs = queries.select(F.col(id_col).alias("query_id")).distinct()
+    return (
+        qs.join(match.drop("_mrank"), "query_id", "left")
+        .join(second, "query_id", "left")
+        .join(n_c, "query_id", "left")
+        .select(
+            "query_id", "matched_doc_id", "matched_score",
+            "second_doc_id", "second_score",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        )
+    )
+
+
+def db2qry(decisions: DataFrame) -> DataFrame:
+    """Invert the per-query decision map into the per-doc multimap —
+    the reference's ``db2qry`` report (``Combine.py:68-86``: qry2db
+    forward map flipped into {db_utt: [qry_utts]}). Matched queries
+    per doc, sorted, serialized to a scalar for hash-stable output."""
+    return (
+        decisions.filter(F.col("matched_doc_id").isNotNull())
+        .groupBy(F.col("matched_doc_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.concat_ws(",", F.sort_array(F.collect_list("query_id")))
+            .alias("query_ids"),
+        )
+    )
+
+
 def decide(topk: DataFrame, queries: DataFrame, threshold: float,
            id_col: str = "query_id") -> DataFrame:
     """Per-query "doc or Nil" + second-best (SURVEY §2.2 F7, §2.5 W3/W4).

@@ -98,3 +98,44 @@ def test_rank_stable_across_partitioning(spark, built, queries_df):
     b = bm25_topk(idx13, queries_df, k=K).orderBy("query_id", "rank").toPandas()
     assert list(a["doc_id"]) == list(b["doc_id"])
     assert list(a["rank"]) == list(b["rank"])
+
+
+def test_compat_mode_diverges_from_engine_mode(spark):
+    """Constructed case where the reference's first-above-threshold-in-
+    candidate-count-order decision (Matching.py:122-131) picks a
+    DIFFERENT doc than engine-mode global best: d2 (2 shared terms,
+    score 2.5) is scanned before d3 (1 shared term, score 9.9) and
+    crosses the threshold first — the reference breaks there and never
+    evaluates d3."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.topk import (
+        decide,
+        decide_compat,
+    )
+
+    scores = spark.createDataFrame(
+        [("q", 1, 1.0, 3), ("q", 2, 2.5, 2), ("q", 3, 9.9, 1)],
+        "query_id string, doc_id long, score double, matched_terms long",
+    )
+    queries = spark.createDataFrame([("q", "x")], "query_id string, text string")
+
+    compat = decide_compat(scores, queries, threshold=2.0).collect()[0]
+    assert compat["matched_doc_id"] == 2  # first passing in count order
+    # running max_so_far over candidates scanned BEFORE the break = d1
+    assert compat["second_doc_id"] == 1 and compat["second_score"] == 1.0
+    assert compat["n_candidates"] == 3
+
+    # engine mode: global best d3
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    topk = scores.withColumn("rank", F.row_number().over(w))
+    engine = decide(topk, queries, threshold=2.0).collect()[0]
+    assert engine["matched_doc_id"] == 3
+    assert engine["matched_doc_id"] != compat["matched_doc_id"]
+
+    # no-match case: second = best-scoring candidate overall
+    nil = decide_compat(scores, queries, threshold=99.0).collect()[0]
+    assert nil["matched_doc_id"] is None
+    assert nil["second_doc_id"] == 3 and nil["second_score"] == 9.9
