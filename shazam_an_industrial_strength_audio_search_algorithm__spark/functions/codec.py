@@ -32,12 +32,15 @@ def zigzag_decode(z: np.ndarray) -> np.ndarray:
     return ((z >> np.uint64(1)) ^ (-(z & np.uint64(1)).astype(np.int64)).astype(np.uint64)).astype(np.int64)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
+def varint_encode_with_ends(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """LEB128-encode a uint64 array, vectorized (no Python loop over
-    values — only over the ≤10 byte positions)."""
+    values — only over the ≤10 byte positions). Also returns the
+    per-value cumulative byte END offsets, so callers encoding MANY
+    logical blocks in one pass can slice the buffer at block
+    boundaries (the batched-encode fast path)."""
     v = values.astype(np.uint64, copy=False)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # bytes needed per value: 1 + floor(bitlen/7) boundaries
     nb = np.ones(v.shape, dtype=np.int64)
     for j in range(1, _MAX_VARINT_BYTES):
@@ -52,7 +55,11 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
         cont = ((nb[mask] > j + 1).astype(np.uint8)) << np.uint8(7)
         out[starts[mask] + j] = chunk | cont
-    return out.tobytes()
+    return out.tobytes(), ends
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    return varint_encode_with_ends(values)[0]
 
 
 def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:

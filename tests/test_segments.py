@@ -198,3 +198,64 @@ def test_positions_roundtrip_through_segments(spark, corpus_df, tmp_path):
     # positions-free decode of the same blocks still works (BM25 path)
     n = seg.postings_for_query_terms(qtp).count()
     assert n == len(got)
+
+
+def test_batched_encoder_matches_encode_block(spark):
+    """The vectorized partition encoder must emit byte-identical
+    payloads to the reference single-block codec (encode_block), for
+    both layouts (with/without positions), across group/block
+    boundaries and negative doc_ids."""
+    import numpy as np
+    import pandas as pd
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.functions.codec import (
+        encode_block,
+    )
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
+        _encode_partition,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for term, salt, n_docs in [("a", 0, 1), ("a", 1, 7), ("b", 0, 5),
+                               ("c", 0, 11)]:
+        ids = np.unique(
+            rng.randint(-2**61, 2**61, size=n_docs * 2).astype(np.int64)
+        )[:n_docs]
+        for d in ids:
+            tf = int(rng.randint(1, 5))
+            pos = np.sort(rng.choice(1000, size=tf, replace=False))
+            rows.append({"bucket": 0, "term": term, "salt": salt,
+                         "doc_id": int(d), "tf": tf,
+                         "doc_len": int(rng.randint(10, 500)),
+                         "positions": pos.astype(np.int64)})
+    pdf = pd.DataFrame(rows).sort_values(
+        ["term", "salt", "doc_id"], ignore_index=True
+    )
+
+    for store_pos in (False, True):
+        got = pd.concat(
+            list(_encode_partition(300.0, 4, store_pos)(iter([pdf]))),
+            ignore_index=True,
+        )
+        # expected: per (term, salt) group, blocks of 4 via encode_block
+        exp = {}
+        for (term, salt), g in pdf.groupby(["term", "salt"], sort=True):
+            g = g.sort_values("doc_id")
+            ids = g["doc_id"].to_numpy(np.int64)
+            tfs = g["tf"].to_numpy(np.int64)
+            dls = g["doc_len"].to_numpy(np.int64)
+            pos = np.concatenate([np.asarray(p) for p in g["positions"]])
+            offs = np.concatenate(([0], np.cumsum(tfs)))
+            for seq, s in enumerate(range(0, len(ids), 4)):
+                e = min(s + 4, len(ids))
+                p = pos[offs[s]:offs[e]] if store_pos else None
+                exp[(term, salt, seq)] = encode_block(
+                    ids[s:e], tfs[s:e], dls[s:e], p
+                )
+        assert len(got) == len(exp)
+        for _, r in got.iterrows():
+            want = exp[(r["term"], int(r["salt"]), int(r["block_seq"]))]
+            assert bytes(r["payload"]) == want, (
+                r["term"], r["salt"], r["block_seq"], store_pos
+            )
