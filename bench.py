@@ -164,7 +164,8 @@ def main_default() -> None:
         json.dumps(
             {
                 "metric": "headline suite wall-clock (index build + BM25/WAND "
-                          "top-k on synthetic corpus + 26-query battery)",
+                          f"top-k on synthetic corpus + {len(battery)}-query "
+                          "battery)",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": queries,

@@ -1251,6 +1251,27 @@ def _ann_lsh_sql() -> str:
     return duckdb_lsh_topk_sql(dim=64, k=10)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic sampled-centroid coarse quantizer
+    (sha256-prefix id hash → SQL-expressible), nearest-cell
+    assignment, n_probe-cell probing, exact re-score. Full value
+    oracle recomputes the identical centroids/assignment in DuckDB."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _query_vecs(spark, sf_dir), k=10)
+
+
+def _ann_ivf_sql() -> str:
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        duckdb_ivf_topk_sql,
+    )
+
+    return duckdb_ivf_topk_sql(dim=64, k=10)
+
+
 # ---------------------------------------------------------------------------
 # multimodal battery (operators/multimodal.py)
 # ---------------------------------------------------------------------------
@@ -1355,6 +1376,7 @@ QUERIES: dict[str, callable] = {
     # similarity search
     "ann_cosine": q_ann_cosine,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     # multimodal plumbing
     "media_meta": q_media_meta,
     "media_frames": q_media_frames,
@@ -1394,6 +1416,7 @@ ORACLE_SQL: dict[str, str] = {
     "simhash": Q_SIMHASH_SQL,
     "ann_cosine": Q_ANN_COSINE_SQL,
     "ann_lsh": _ann_lsh_sql(),
+    "ann_ivf": _ann_ivf_sql(),
     "media_meta": Q_MEDIA_META_SQL,
     "media_frames": Q_MEDIA_FRAMES_SQL,
 }

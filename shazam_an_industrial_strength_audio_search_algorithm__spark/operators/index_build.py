@@ -58,18 +58,26 @@ def with_doc_id(corpus: DataFrame) -> DataFrame:
     return corpus.withColumn("doc_id", F.xxhash64(*KEY_COLS))
 
 
-def dedup_last_wins(corpus: DataFrame) -> DataFrame:
+def dedup_last_wins(corpus: DataFrame, strict: bool = False) -> DataFrame:
     """Duplicate (repo,path,commit) keys: last-writer-wins — the dict
     semantics of the reference's ``wav.scp`` parse (``Hashing.py:30``,
-    SURVEY §2.1 S1). 'Last' is made deterministic by a monotonic
-    ``ingest_seq`` column if present, else arbitrary-but-single."""
+    SURVEY §2.1 S1). "Last" is deterministic ONLY when a monotonic
+    ``ingest_seq`` column is present (the reference's file order made
+    explicit). Without it the fallback picks ONE row per key but the
+    choice depends on partition layout (``monotonically_increasing_id``
+    is layout-dependent) — fine for dedup-to-single, NOT a stable
+    last-writer. Pass ``strict=True`` to require ``ingest_seq``."""
     from pyspark.sql import Window
 
-    order = (
-        F.col("ingest_seq").desc()
-        if "ingest_seq" in corpus.columns
-        else F.monotonically_increasing_id().desc()
-    )
+    if "ingest_seq" in corpus.columns:
+        order = F.col("ingest_seq").desc()
+    elif strict:
+        raise ValueError(
+            "dedup_last_wins(strict=True) requires an ingest_seq column "
+            "— without it, 'last' is partition-layout-dependent"
+        )
+    else:
+        order = F.monotonically_increasing_id().desc()
     w = Window.partitionBy(*KEY_COLS).orderBy(order)
     return (
         corpus.withColumn("_rn", F.row_number().over(w))

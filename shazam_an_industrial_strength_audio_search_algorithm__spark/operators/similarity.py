@@ -89,6 +89,186 @@ def _bucket_expr(v_col, planes: np.ndarray):
     return out.cast("int")
 
 
+DEFAULT_CELLS = 16
+DEFAULT_PROBE = 4
+
+
+def _id_hash(col):
+    """60-bit deterministic hash of an id, identical in Spark and
+    DuckDB (sha256 hex prefix) — the SQL-expressible sampling rule
+    behind the IVF centroid pick."""
+    return F.conv(
+        F.substring(F.sha2(col.cast("string"), 256), 1, 15), 16, 10
+    ).cast("long")
+
+
+def ivf_centroids(emb: DataFrame, n_cells: int = DEFAULT_CELLS,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Deterministic sampled-centroid coarse quantizer: centroids are
+    the embeddings of the ``n_cells`` vectors with the smallest
+    sha256-prefix hash of their id. Data-deterministic AND
+    SQL-expressible — the DuckDB oracle recomputes the same centroids
+    from the same table, so the whole IVF pipeline is value-checkable.
+    (A production deployment would refine these with a few offline
+    Lloyd iterations; the query-side dataflow is unchanged.)
+
+    Output: (cid 1..n_cells, cv array<double>, cnorm)."""
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("h", _id_hash(F.col(id_col)))
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-n
+    # + tiny merge) — no global sort of the vector table; the window
+    # that assigns cid runs over the n_cells-row result only
+    picked = base.orderBy(F.col("h").asc(), F.col("vec_id").asc()).limit(n_cells)
+    w = Window.orderBy(F.col("h").asc(), F.col("vec_id").asc())
+    return picked.withColumn("cid", F.row_number().over(w)).select(
+        "cid", F.col("v").alias("cv"), _norm(F.col("v")).alias("cnorm")
+    )
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid (max cosine; ties → lowest cid) assignment —
+    a broadcast cross-join, O(N × n_cells × d) NARROW work, no
+    shuffle of the vector table. At 10^12 vectors this runs once at
+    ingest and the base table is written partitioned by ``cell`` so
+    probes prune partitions (the same layout story as the segment
+    index buckets)."""
+    scored = vectors.join(F.broadcast(centroids)).withColumn(
+        "ccos",
+        _dot(F.col("v"), F.col("cv")) / (F.col("vnorm") * F.col("cnorm")),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "vnorm", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(emb: DataFrame, query_vecs: DataFrame, k: int = 10,
+             n_cells: int = DEFAULT_CELLS, n_probe: int = DEFAULT_PROBE,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "query_id", qvec_col: str = "qvec") -> DataFrame:
+    """IVF approximate cosine top-k: candidates = vectors assigned to
+    the query's ``n_probe`` nearest cells; exact cosine re-score on
+    candidates only. Same output schema as cosine_topk/lsh_topk."""
+    cent = ivf_centroids(emb, n_cells, id_col, vec_col)
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("vnorm", _norm(F.col("v")))
+    assigned = ivf_assign(base, cent)
+
+    qs = query_vecs.select(
+        F.col(qid_col).alias("query_id"), _as_double(F.col(qvec_col)).alias("q")
+    ).withColumn("qnorm", _norm(F.col("q")))
+    qscored = qs.join(F.broadcast(cent)).withColumn(
+        "ccos",
+        _dot(F.col("q"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q", "qnorm", F.col("cid").alias("cell"))
+    )
+
+    cand = assigned.join(F.broadcast(probes), "cell").withColumn(
+        "cosine_micro",
+        F.round(
+            _dot(F.col("v"), F.col("q")) * F.lit(1_000_000.0)
+            / (F.col("vnorm") * F.col("qnorm"))
+        ).cast("long"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_micro").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.select("query_id", "vec_id", "cosine_micro").distinct()
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine_micro")
+    )
+
+
+def duckdb_ivf_topk_sql(dim: int, k: int = 10,
+                        n_cells: int = DEFAULT_CELLS,
+                        n_probe: int = DEFAULT_PROBE,
+                        queries_pred: str = "vec_id < 3") -> str:
+    """DuckDB twin of ``ivf_topk``: recomputes the SAME deterministic
+    centroid sample (sha256-prefix id hash), assignment, probing, and
+    re-score — the approximate operator is fully value-checkable."""
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+nrm AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS vnorm,
+         CAST(concat('0x', substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM base
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) AS cid,
+         v AS cv, vnorm AS cnorm
+  FROM nrm
+  QUALIFY cid <= {n_cells}
+),
+assigned AS (
+  SELECT vec_id, v, vnorm, cid AS cell FROM (
+    SELECT n.vec_id, n.v, n.vnorm, c.cid,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_sum(list_transform(range(1, {dim + 1}),
+                       i -> n.v[i] * c.cv[i])) / (n.vnorm * c.cnorm) DESC,
+                      c.cid ASC
+           ) AS rn
+    FROM nrm n CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+qs AS (
+  SELECT 'v' || vec_id AS query_id, v AS q, vnorm AS qnorm
+  FROM nrm WHERE {queries_pred}
+),
+probes AS (
+  SELECT query_id, q, qnorm, cid AS cell FROM (
+    SELECT qs.query_id, qs.q, qs.qnorm, c.cid,
+           row_number() OVER (
+             PARTITION BY qs.query_id
+             ORDER BY list_sum(list_transform(range(1, {dim + 1}),
+                       i -> qs.q[i] * c.cv[i])) / (qs.qnorm * c.cnorm) DESC,
+                      c.cid ASC
+           ) AS rn
+    FROM qs CROSS JOIN cent c
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id,
+         CAST(round(
+           list_sum(list_transform(range(1, {dim + 1}),
+                                   i -> a.v[i] * p.q[i]))
+           * 1000000.0 / (a.vnorm * p.qnorm)
+         ) AS BIGINT) AS cosine_micro
+  FROM assigned a JOIN probes p ON a.cell = p.cell
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine_micro,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine_micro DESC, vec_id ASC
+         )::BIGINT AS rank
+  FROM cand
+)
+SELECT query_id, rank, vec_id, cosine_micro FROM ranked WHERE rank <= {k}
+"""
+
+
 def duckdb_lsh_topk_sql(dim: int, k: int = 10,
                         n_planes: int = DEFAULT_PLANES,
                         probe_flips: int = 1, seed: int = 13,

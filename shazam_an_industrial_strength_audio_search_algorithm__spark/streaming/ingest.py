@@ -78,6 +78,68 @@ def stream_ingest(
     return writer.start()
 
 
+DEDUP_STATE_SCHEMA = T.StructType(
+    [T.StructField("seen_shas", T.ArrayType(T.StringType()))]
+)
+
+DEDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content_sha", T.StringType()),
+    ]
+)
+
+
+def streaming_dedup_first_wins(
+    docs: DataFrame,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator: exact dedup over an
+    unbounded stream — emit a doc only the FIRST time its content
+    sha256 is seen, across micro-batches (the training-data pipeline's
+    streaming dedup; batch twin is ``operators/dedup.dedup_exact``).
+
+    Built on ``applyInPandasWithState``: state is partitioned by a
+    sha-derived shard (``pmod(xxhash64(sha), n_shards)``), so each
+    group's state holds ~1/n_shards of the digest set — at scale you
+    raise ``n_shards`` so per-group state stays RAM-sized; digests are
+    64-char strings only, never content. Within a micro-batch,
+    first-seen wins by arrival order per shard (deterministic given a
+    deterministic source ordering); across batches the state map wins.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        out = []
+        for pdf in pdfs:
+            for doc_id, sha in zip(pdf["doc_id"], pdf["content_sha"]):
+                if sha not in seen:
+                    seen.add(sha)
+                    out.append((int(key[0]), int(doc_id), sha))
+        state.update((list(seen),))
+        import pandas as pd  # local import: runs on executors
+
+        yield pd.DataFrame(out, columns=["shard", "doc_id", "content_sha"])
+
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("content_sha"),
+    ).withColumn(
+        "shard", F.pmod(F.xxhash64("content_sha"), F.lit(n_shards)).cast("int")
+    )
+    return hashed.groupBy("shard").applyInPandasWithState(
+        fn,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_term_counts(
     events: DataFrame,
     window_duration: str = "1 minute",

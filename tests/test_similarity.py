@@ -82,3 +82,47 @@ def test_lsh_scores_are_exact_on_candidates(spark, emb, qs):
     for r in lsh_topk(emb, qs, k=10).collect():
         key = (r["query_id"], r["vec_id"])
         assert exact[key] == r["cosine_micro"], key
+
+
+def test_ivf_recall_on_clustered_vectors(spark):
+    """IVF with the deterministic sampled-centroid quantizer must
+    recover ≥ 80% of the exact top-10 on clustered vectors when
+    probing half the cells, and must never mis-score a candidate."""
+    import numpy as np
+    import pandas as pd
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(8, 32))
+    rows = [
+        (i, [float(x) for x in centers[i % 8]
+             + rng.normal(scale=0.15, size=32)])
+        for i in range(240)
+    ]
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    qs = spark.createDataFrame(
+        pd.DataFrame(
+            [(f"c{j}", [float(x) for x in centers[j]]) for j in range(8)],
+            columns=["query_id", "qvec"],
+        )
+    )
+    k = 10
+    exact_sets, approx = {}, {}
+    exact_scores = {}
+    for r in cosine_topk(emb, qs, k=500).collect():
+        exact_scores[(r["query_id"], r["vec_id"])] = r["cosine_micro"]
+        if r["rank"] <= k:
+            exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in ivf_topk(emb, qs, k=k, n_cells=16, n_probe=8).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+        assert exact_scores[(r["query_id"], r["vec_id"])] == r["cosine_micro"]
+    recalls = [
+        len(approx.get(q, set()) & want) / len(want)
+        for q, want in exact_sets.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, f"mean recall {recalls}"

@@ -94,3 +94,59 @@ def test_streaming_term_counts_with_watermark(spark, tmp_path):
     assert got[("2024-01-01 00:00:00", "join")] == 3  # late row included
     assert got[("2024-01-01 00:00:00", "spark")] == 1
     assert got[("2024-01-01 00:01:00", "spark")] == 2
+
+
+def test_streaming_dedup_first_wins_across_batches(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): a doc is
+    emitted only the FIRST time its content sha appears — within a
+    micro-batch AND across separate runs restored from the state-store
+    checkpoint."""
+    import pandas as pd
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.streaming.ingest import (
+        streaming_dedup_first_wins,
+    )
+
+    src = str(tmp_path / "dsrc")
+    ckpt = str(tmp_path / "dckpt")
+    out_dir = str(tmp_path / "dout")
+
+    def run(name):
+        import os
+
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            streaming_dedup_first_wins(stream, n_shards=4)
+            .writeStream
+            .foreachBatch(
+                lambda df, _bid: df.write.mode("append")
+                .parquet(f"{out_dir}/{name}")
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if not os.path.exists(f"{out_dir}/{name}"):
+            return set()
+        return {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out_dir}/{name}").collect()
+        }
+
+    # batch 1: doc 2 duplicates doc 0's content within the batch
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2],
+                      "text": ["alpha beta", "gamma", "alpha beta"]})
+    ).write.mode("append").parquet(src)
+    got1 = run("dd1")
+    assert 1 in got1 and len(got1 & {0, 2}) == 1  # one of the dups only
+
+    # batch 2 (new run, same checkpoint): doc 3 new, doc 4 dups batch 1
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [3, 4],
+                      "text": ["delta", "alpha beta"]})
+    ).write.mode("append").parquet(src)
+    got2 = run("dd2")
+    assert got2 == {3}  # cross-batch dup suppressed via restored state
