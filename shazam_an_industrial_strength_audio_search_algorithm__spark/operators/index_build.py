@@ -130,6 +130,39 @@ def doc_term_tf_udf(texts: pd.Series) -> pd.Series:
     return texts.map(stats)
 
 
+def doc_term_stage(corpus: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "content",
+                   with_positions: bool = True) -> DataFrame:
+    """corpus → (doc_id, stats array<struct>, doc_len) — ONE tokenize
+    pass producing everything phase A needs. Persist this frame to
+    derive both the exploded ``doc_terms`` AND the per-doc ``doc_lens``
+    without tokenizing twice (the 'tokenize once, ever' contract)."""
+    udf = doc_term_stats_udf if with_positions else doc_term_tf_udf
+    return corpus.select(
+        F.col(id_col).alias("doc_id"),
+        udf(F.col(text_col)).alias("stats"),
+    ).withColumn(
+        "doc_len", F.aggregate("stats", F.lit(0), lambda a, s: a + s["tf"])
+    )
+
+
+def explode_doc_terms(stage: DataFrame,
+                      with_positions: bool = True) -> DataFrame:
+    """(doc_id, stats, doc_len) → doc_terms(doc_id, term, tf
+    [, positions], doc_len) — narrow explode of the staged pass."""
+    cols = [
+        "doc_id",
+        F.col("s.term").alias("term"),
+        F.col("s.tf").alias("tf"),
+    ]
+    if with_positions:
+        cols.append(F.col("s.positions").alias("positions"))
+    cols.append(F.col("doc_len"))
+    return stage.select(
+        "doc_id", "doc_len", F.explode("stats").alias("s")
+    ).select(*cols)
+
+
 def build_doc_terms(corpus: DataFrame, id_col: str = "doc_id",
                     text_col: str = "content",
                     with_positions: bool = True) -> DataFrame:
@@ -141,25 +174,9 @@ def build_doc_terms(corpus: DataFrame, id_col: str = "doc_id",
     ``with_positions=False`` is the index-build fast path — BM25 needs
     only tf; positions are for phrase/proximity verification.
     """
-    udf = doc_term_stats_udf if with_positions else doc_term_tf_udf
-    stats = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        udf(F.col(text_col)).alias("stats"),
-    )
-    cols = [
-        "doc_id",
-        F.col("s.term").alias("term"),
-        F.col("s.tf").alias("tf"),
-    ]
-    if with_positions:
-        cols.append(F.col("s.positions").alias("positions"))
-    cols.append(F.col("doc_len"))
-    return (
-        stats.withColumn(
-            "doc_len", F.aggregate("stats", F.lit(0), lambda a, s: a + s["tf"])
-        )
-        .select("doc_id", "doc_len", F.explode("stats").alias("s"))
-        .select(*cols)
+    return explode_doc_terms(
+        doc_term_stage(corpus, id_col, text_col, with_positions),
+        with_positions,
     )
 
 

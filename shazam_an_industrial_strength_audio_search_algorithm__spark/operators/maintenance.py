@@ -143,10 +143,18 @@ def apply_updates(
                 "doc_id", "left_anti",
             )
         if add_corpus is not None:
+            # narrow off the incoming corpus (size(tokens) per row) —
+            # never recovered by grouping the delta postings
+            from shazam_an_industrial_strength_audio_search_algorithm__spark.functions.tokenize import (
+                tokens_col,
+            )
+
             new_dl = (
-                spark.read.parquet(dtdelta_path)
-                .groupBy("doc_id")
-                .agg(F.first("doc_len").alias("doc_len"))
+                add_corpus.select(
+                    "doc_id",
+                    F.size(tokens_col("content")).alias("doc_len"),
+                )
+                .filter(F.col("doc_len") > 0)
             )
             dl = dl.unionByName(new_dl)
         dl.write.mode("overwrite").parquet(dl_path)

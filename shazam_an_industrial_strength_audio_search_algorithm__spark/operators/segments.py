@@ -319,9 +319,12 @@ def build_buckets_batch(
         .filter(F.col("bucket").isin(buckets))
         .select(*cols)
     )
+    # persist: term_df (vocab-sized, tiny vs postings) feeds the hot
+    # broadcast AND the final block join — without the persist each
+    # use re-aggregates the full postings scan
     term_df = dt.groupBy("bucket", "term").agg(
         F.count(F.lit(1)).alias("df")
-    )
+    ).persist()
     hot = term_df.filter(F.col("df") > hot_df).withColumnRenamed("df", "hot_term_df")
     salted = (
         dt.join(F.broadcast(hot), ["bucket", "term"], "left")
@@ -371,6 +374,7 @@ def build_buckets_batch(
         .partitionBy("bucket")
         .parquet(f"{index_dir}/data/seg_{gen}")
     )
+    term_df.unpersist()
     stats = {
         r["bucket"]: r
         for r in spark.read.parquet(f"{index_dir}/data/seg_{gen}")
@@ -449,10 +453,22 @@ def build_segment_index(
     dl_path = f"{index_dir}/data/dl_{gen}"
     phase_a_done = resume and os.path.exists(params_path)
     if not phase_a_done:
+        from pyspark import StorageLevel
+
+        from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.index_build import (
+            doc_term_stage,
+            explode_doc_terms,
+        )
+
         _t0 = _time.monotonic()
-        dt = build_doc_terms(
+        # ONE tokenize pass: the persisted stage feeds both the
+        # doc_terms explode AND the doc_lens projection — 'tokenize
+        # once, ever', no second corpus pass, no postings shuffle
+        stage = doc_term_stage(
             corpus, id_col, text_col, with_positions=store_positions
-        ).withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        dt = explode_doc_terms(stage, with_positions=store_positions)\
+            .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
         if phase_a_shuffle:
             # consolidate to one file set per bucket — enable when
             # n_buckets × task-count would explode the file count
@@ -465,21 +481,13 @@ def build_segment_index(
         )
         timings["phase_a_doc_terms"] = _time.monotonic() - _t0
         _t0 = _time.monotonic()
-        # doc_lens straight off the corpus — narrow (JVM tokenizer),
-        # no re-read of doc_terms, no shuffle
-        from shazam_an_industrial_strength_audio_search_algorithm__spark.functions.tokenize import (
-            tokens_col,
-        )
-
         (
-            corpus.select(
-                F.col(id_col).alias("doc_id"),
-                F.size(tokens_col(text_col)).alias("doc_len"),
-            )
+            stage.select("doc_id", "doc_len")
             .filter(F.col("doc_len") > 0)
             .write.mode("overwrite")
             .parquet(dl_path)
         )
+        stage.unpersist()
         row = (
             spark.read.parquet(dl_path)
             .agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl"))
