@@ -1076,15 +1076,20 @@ HAVING count(*) > 1
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.8 near-dup pairs — the classic near-dup
+    operating point, exercising the AllPairs prefix+length-filtered
+    candidate path (threshold ≥ 0.5 dispatch in
+    ``ngram_jaccard_pairs``); the oracle recomputes the unfiltered
+    all-pairs truth, so the gate asserts the pruning lost nothing."""
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.dedup import (
         ngram_jaccard_pairs,
     )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.8)
 
 
-Q_NGRAM_JACCARD_SQL = f"""
+_NGRAM_JACCARD_SQL_T = f"""
 WITH raw AS (
   SELECT doc_id, {_D_TOKS} AS toks FROM documents
 ),
@@ -1109,8 +1114,11 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common * 1000000.0 / (sa.n_shingles + sb.n_shingles - n_common)
-      >= 120000 - 0.5
+      >= __T_MICRO__ - 0.5
 """
+
+Q_NGRAM_JACCARD_SQL = _NGRAM_JACCARD_SQL_T.replace("__T_MICRO__", "800000")
+Q_MINHASH_LSH_SQL = _NGRAM_JACCARD_SQL_T.replace("__T_MICRO__", "120000")
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1412,7 +1420,7 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     # one oracle, two physical plans: the LSH path must reproduce the
     # exact-kernel answer (blocking recall + candidate-gated verify)
-    "minhash_lsh": Q_NGRAM_JACCARD_SQL,
+    "minhash_lsh": Q_MINHASH_LSH_SQL,
     "simhash": Q_SIMHASH_SQL,
     "ann_cosine": Q_ANN_COSINE_SQL,
     "ann_lsh": _ann_lsh_sql(),

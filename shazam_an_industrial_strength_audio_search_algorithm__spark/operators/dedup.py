@@ -135,41 +135,11 @@ def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame,
     )
 
 
-def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text", n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
-    """Exact Jaccard ≥ threshold pairs (doc_a < doc_b) over n-gram
-    shingle sets, plus the intersection/union sizes (integers — the
-    driver-hash-stable form; jaccard_micro derived).
-
-    Quadratic in df per shingle — this is the exact KERNEL; at scale
-    it only ever runs candidate-gated behind LSH blocking
-    (``exact_jaccard_for_pairs``)."""
-    sh = shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
-    return _jaccard_from_inter(inter, sizes, threshold)
-
-
-def exact_jaccard_for_pairs(df: DataFrame, cand: DataFrame,
-                            id_col: str = "doc_id", text_col: str = "text",
-                            n: int = 3, threshold: float = 0.0) -> DataFrame:
-    """Exact shingle Jaccard computed ONLY for the given candidate
-    pairs (doc_a, doc_b) — the verify kernel behind LSH blocking.
-
-    Shape: cand ⋈ shingles(doc_a) ⋈ shingles(doc_b, shingle) — work is
-    O(candidate pairs × shingles per doc), never O(Σ df²) over the
-    corpus. Pairs sharing no shingle come back with n_common = 0."""
-    sh = shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+def _verify_pairs(sh: DataFrame, sizes: DataFrame, cand: DataFrame,
+                  threshold: float) -> DataFrame:
+    """Exact Jaccard for the given (doc_a, doc_b) pairs from
+    precomputed shingles — work is O(candidate pairs × shingles per
+    doc). Pairs sharing no shingle come back with n_common = 0."""
     inter = (
         cand.select("doc_a", "doc_b")
         .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
@@ -184,6 +154,106 @@ def exact_jaccard_for_pairs(df: DataFrame, cand: DataFrame,
         .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
     )
     return _jaccard_from_inter(inter, sizes, threshold)
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact Jaccard ≥ threshold pairs (doc_a < doc_b) over n-gram
+    shingle sets, plus the intersection/union sizes (integers — the
+    driver-hash-stable form; jaccard_micro derived).
+
+    Candidate generation uses AllPairs-style prefix + length filtering
+    (Bayardo et al., WWW'07; PPJoin family) — EXACT, no recall loss:
+    a pair with Jaccard ≥ t must (a) satisfy t·max(|a|,|b|) ≤
+    min(|a|,|b|) and (b) share at least one shingle within each doc's
+    first |s| − ⌈t·|s|⌉ + 1 shingles under a global canonical order.
+    Ordering rarest-first (ascending corpus df, shingle tiebreak) puts
+    only RARE shingles in prefixes, so the candidate self-join never
+    touches the hot shingles that make the naive all-pairs join
+    O(Σ df²). Candidates are then verified exactly. The join key is
+    xxhash64(shingle) — collisions can only ADD candidates (removed by
+    the exact verify), never drop true pairs.
+
+    Below threshold 0.5 the prefix keeps most of every doc's shingles
+    (p ≈ (1−t)·|s|) and the filter machinery costs more than it saves,
+    so the plain self-join kernel runs instead — at such thresholds
+    exact all-pairs is inherently quadratic and the scale answer is
+    MinHash LSH blocking (``minhash_lsh_pairs``), not a better exact
+    join. threshold == 0 likewise means every co-shingled pair."""
+    # the shingle frame feeds df-count, ranking, and both verify
+    # branches — persist so the regex tokenizer runs once, not 5×
+    sh = shingles(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    if threshold < 0.5:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        )
+        return _jaccard_from_inter(inter, sizes, threshold)
+
+    t_micro = int(round(threshold * 1_000_000))
+    hashed = sh.withColumn("h", F.xxhash64("shingle"))
+    # corpus df per shingle-hash: the canonical-order key. Counting on
+    # the 8-byte hash (not the string) keeps the wide agg narrow; a
+    # hash collision merely merges two rare shingles' df — the order
+    # stays a pure function of the shingle, which is all the prefix
+    # theorem needs (shingle string is the tiebreak).
+    sdf = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("sdf"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("sdf").asc(),
+                                             F.col("shingle").asc())
+    # n_shingles rides the same doc_id exchange as the rank window —
+    # no extra sizes join on this branch
+    ranked = (
+        hashed.join(sdf, "h")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_shingles",
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")),
+        )
+    )
+    # prefix length |s| − ⌈t·|s|⌉ + 1, in integer micro arithmetic
+    req = F.floor(
+        (F.col("n_shingles") * t_micro + (1_000_000 - 1)) / 1_000_000
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n_shingles") - req + F.lit(1)
+    ).select("doc_id", "h", "n_shingles")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "h",
+                      F.col("n_shingles").alias("size_a"))
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "h",
+                      F.col("n_shingles").alias("size_b"))
+    cand = (
+        a.join(b, "h")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: J ≥ t ⇒ t·max ≤ min
+            & (F.least("size_a", "size_b") * F.lit(1_000_000)
+               >= F.greatest("size_a", "size_b") * F.lit(t_micro))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_pairs(sh, sizes, cand, threshold)
+
+
+def exact_jaccard_for_pairs(df: DataFrame, cand: DataFrame,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            n: int = 3, threshold: float = 0.0) -> DataFrame:
+    """Exact shingle Jaccard computed ONLY for the given candidate
+    pairs (doc_a, doc_b) — the verify kernel behind LSH blocking.
+
+    Shape: cand ⋈ shingles(doc_a) ⋈ shingles(doc_b, shingle) — work is
+    O(candidate pairs × shingles per doc), never O(Σ df²) over the
+    corpus. Pairs sharing no shingle come back with n_common = 0."""
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return _verify_pairs(sh, sizes, cand, threshold)
 
 
 # ---------------------------------------------------------------------------

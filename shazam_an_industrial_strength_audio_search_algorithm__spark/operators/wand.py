@@ -66,9 +66,16 @@ RESULT_SCHEMA = T.StructType(
 
 
 class _Term:
-    """One term's blocks: boundary arrays + lazy per-block decode."""
+    """One term's blocks: boundary arrays + lazy per-block decode.
 
-    __slots__ = ("idf", "los", "his", "bounds", "payloads", "cache", "decoded")
+    The decode cache lives on the instance, so in batched execution
+    (one ``_Term`` per term shared by every query in the group) a
+    block decodes at most once per group; ``requested`` tracks which
+    blocks the CURRENT query actually needed (reset per query), so
+    per-query pruning counters stay meaningful under sharing."""
+
+    __slots__ = ("idf", "los", "his", "bounds", "payloads", "cache",
+                 "requested")
 
     def __init__(self, idf: float, g: pd.DataFrame, avgdl: float):
         self.idf = idf
@@ -79,7 +86,7 @@ class _Term:
         self.bounds = idf * (mt / (mt + K1 * (1.0 - B + B * md / avgdl)))
         self.payloads = list(g["payload"])
         self.cache: dict[int, tuple] = {}
-        self.decoded = 0
+        self.requested: set[int] = set()
 
     def block_at(self, doc_lo: np.int64) -> int:
         """Index of the block whose range could contain doc_lo; -1 if
@@ -91,13 +98,13 @@ class _Term:
 
     def slice(self, bi: int, start: np.int64, end: np.int64, avgdl: float):
         """(doc_ids, contribs) of block bi restricted to [start, end]."""
+        self.requested.add(bi)
         if bi not in self.cache:
             ids, tfs, dls = decode_block(bytes(self.payloads[bi]))
             contribs = self.idf * (
                 tfs / (tfs + K1 * (1.0 - B + B * dls.astype(np.float64) / avgdl))
             )
             self.cache[bi] = (ids, contribs)
-            self.decoded += 1
         ids, contribs = self.cache[bi]
         s = int(np.searchsorted(ids, start, side="left"))
         e = int(np.searchsorted(ids, end, side="right"))
@@ -175,7 +182,7 @@ def _topk_one_query(terms: list[_Term], k: int, avgdl: float):
             floor = float(top_scores.min())
 
     sel = np.lexsort((top_docs, -top_scores))[:k]
-    decoded = sum(t.decoded for t in terms)
+    decoded = sum(len(t.requested) for t in terms)
     total = sum(len(t.payloads) for t in terms)
     return (top_docs[sel], top_scores[sel], top_matched[sel], decoded, total)
 
@@ -186,11 +193,22 @@ def wand_topk(
     k: int = 10,
     id_col: str = "query_id",
     text_col: str = "text",
+    n_groups: int | None = None,
 ) -> DataFrame:
     """Top-k via interval-at-a-time block-max WAND; exact same results
     as segment_topk, plus per-query decode counters
     (blocks_decoded / blocks_total) so tests and benches can assert
-    pruning actually happened."""
+    pruning actually happened.
+
+    Batched execution: queries are hashed into ``n_groups`` groups
+    (default = shuffle partitions) and each candidate block shuffles
+    ONCE per group whose queries touch its term — not once per query.
+    With a Q-query batch sharing hot terms this cuts shuffled payload
+    bytes by ~Q/n_groups, and queries inside a group share one decode
+    cache per term, so a hot term's blocks decode once for the whole
+    group. Per-query results are bit-identical to one-query-per-group
+    execution (the kernel is unchanged; only placement and caching
+    change)."""
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.topk import (
         query_terms,
     )
@@ -202,35 +220,60 @@ def wand_topk(
         "term", "df", "salt", "block_seq", "doc_id_lo", "doc_id_hi",
         "max_tf", "min_dl", "payload",
     )
-    per_query = blocks.join(F.broadcast(qt), "term")
-    n_docs, avgdl = index.n_docs, index.avgdl
-
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = key[0]
-        ts = []
-        for term, g in pdf.groupby("term", sort=True):
-            g = g.sort_values(["salt", "block_seq"])
-            ts.append(_Term(idf_py(int(g["df"].iloc[0]), n_docs), g, avgdl))
-        docs, scores, matched, decoded, total = _topk_one_query(ts, k, avgdl)
-        n = docs.size
-        return pd.DataFrame(
-            {
-                "query_id": qid,
-                "rank": np.arange(1, n + 1, dtype="int32"),
-                "doc_id": docs,
-                "score": scores,
-                "matched_terms": matched,
-                "blocks_decoded": np.int32(decoded),
-                "blocks_total": np.int32(total),
-            }
-        )
-
     # pin parallelism: the per-query loop is CPU-bound Python/numpy —
     # don't let AQE coalesce the (small-bytes) shuffle under the core
     # count and serialize it
     n_part = int(index.spark.conf.get("spark.sql.shuffle.partitions"))
+    n_grp = int(n_groups) if n_groups else n_part
+    qg = qt.withColumn(
+        "grp", F.pmod(F.xxhash64(F.col("query_id")), F.lit(n_grp)).cast("int")
+    )
+    # one row per (group, term) with that group's query ids — the
+    # block join fans out per GROUP, never per query
+    gt = qg.groupBy("grp", "term").agg(
+        F.collect_list("query_id").alias("qids")
+    )
+    per_group = blocks.join(F.broadcast(gt), "term")
+    n_docs, avgdl = index.n_docs, index.avgdl
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        terms: dict[str, _Term] = {}
+        q2t: dict[str, list[str]] = {}
+        for term, g in pdf.groupby("term", sort=True):
+            g2 = g.sort_values(["salt", "block_seq"])
+            terms[term] = _Term(
+                idf_py(int(g2["df"].iloc[0]), n_docs), g2, avgdl
+            )
+            for qid in g["qids"].iloc[0]:
+                q2t.setdefault(qid, []).append(term)
+        frames = []
+        for qid in sorted(q2t):
+            ts = [terms[t] for t in q2t[qid]]
+            for t in ts:
+                t.requested.clear()
+            docs, scores, matched, decoded, total = _topk_one_query(
+                ts, k, avgdl
+            )
+            n = docs.size
+            frames.append(pd.DataFrame(
+                {
+                    "query_id": qid,
+                    "rank": np.arange(1, n + 1, dtype="int32"),
+                    "doc_id": docs,
+                    "score": scores,
+                    "matched_terms": matched,
+                    "blocks_decoded": np.int32(decoded),
+                    "blocks_total": np.int32(total),
+                }
+            ))
+        if not frames:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in RESULT_SCHEMA}
+            )
+        return pd.concat(frames, ignore_index=True)
+
     return (
-        per_query.repartition(n_part, "query_id")
-        .groupBy("query_id")
+        per_group.repartition(n_part, "grp")
+        .groupBy("grp")
         .applyInPandas(run, schema=RESULT_SCHEMA)
     )

@@ -60,6 +60,23 @@ def test_ngram_jaccard_finds_planted_pairs(spark, dup_df):
     assert (1, 101) in pairs and pairs[(1, 101)] >= 500_000  # near-dup
 
 
+def test_prefix_filter_matches_naive_kernel(spark, dup_df):
+    """The AllPairs prefix+length-filtered path (threshold ≥ 0.5
+    dispatch) must return EXACTLY the naive self-join kernel's pairs —
+    the prefix theorem guarantees no recall loss and the verify step
+    removes any hash-collision false candidates."""
+    prefix = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard_micro"])
+        for r in ngram_jaccard_pairs(dup_df, threshold=0.6).collect()
+    }
+    naive = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard_micro"])
+        for r in ngram_jaccard_pairs(dup_df, threshold=0.0).collect()
+        if r["jaccard_micro"] >= 600_000
+    }
+    assert prefix == naive
+
+
 def test_minhash_estimates_match_exact(spark, dup_df):
     """LSH must surface the planted pairs; the MinHash estimate must
     be within ±0.15 of exact Jaccard for every surfaced pair."""
