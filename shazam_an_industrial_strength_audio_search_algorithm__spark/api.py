@@ -629,6 +629,29 @@ def q_bm25_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query through the PRUNED executor: block-max WAND
+    (interval-at-a-time, bound-gated decodes, query-group batching) in
+    integer micro-unit scoring mode — must hash-match the SAME DuckDB
+    oracle as the brute-force paths (Q_BM25_TOPK_SQL): one oracle,
+    THREE physical plans (v1 in-memory, segment brute force, WAND).
+    The gate therefore proves the pruning never changed a score, a
+    rank, or a tie-break."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.wand import (
+        wand_topk,
+    )
+
+    idx = docs_segment_index(spark, sf_dir)
+    res = wand_topk(idx, queries_df(spark), k=TOPK_K, micro=True)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        "score_micro",
+        F.col("matched_terms").cast("long").alias("matched_terms"),
+    )
+
+
 def q_unindexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quarantine side-output (SURVEY §2.2 F5): docs that tokenize to
     nothing. Empty on the driver corpus — the oracle must agree it is
@@ -1352,6 +1375,7 @@ QUERIES: dict[str, callable] = {
     "candidates": q_candidates,
     "bm25_topk": q_bm25_topk,
     "bm25_segment": q_bm25_segment,
+    "wand_topk": q_wand_topk,
     "match_or_nil": q_match_or_nil,
     "match_compat": q_match_compat,
     "match_stats": q_match_stats,
@@ -1396,7 +1420,8 @@ ORACLE_SQL: dict[str, str] = {
     "term_tf": Q_TERM_TF_SQL,
     "candidates": Q_CANDIDATES_SQL,
     "bm25_topk": Q_BM25_TOPK_SQL,
-    "bm25_segment": Q_BM25_TOPK_SQL,  # one oracle, two physical plans
+    "bm25_segment": Q_BM25_TOPK_SQL,  # one oracle, three physical plans
+    "wand_topk": Q_BM25_TOPK_SQL,  # the pruned executor vs the same truth
     "match_or_nil": Q_MATCH_OR_NIL_SQL,
     "match_compat": Q_MATCH_COMPAT_SQL,
     "match_stats": Q_MATCH_STATS_SQL,

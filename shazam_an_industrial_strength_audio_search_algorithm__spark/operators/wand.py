@@ -75,15 +75,25 @@ class _Term:
     per-query pruning counters stay meaningful under sharing."""
 
     __slots__ = ("idf", "los", "his", "bounds", "payloads", "cache",
-                 "requested")
+                 "requested", "micro")
 
-    def __init__(self, idf: float, g: pd.DataFrame, avgdl: float):
+    def __init__(self, idf: float, g: pd.DataFrame, avgdl: float,
+                 micro: bool = False):
         self.idf = idf
+        self.micro = micro
         self.los = g["doc_id_lo"].to_numpy(np.int64)
         self.his = g["doc_id_hi"].to_numpy(np.int64)
         mt = g["max_tf"].to_numpy(np.float64)
         md = g["min_dl"].to_numpy(np.float64)
-        self.bounds = idf * (mt / (mt + K1 * (1.0 - B + B * md / avgdl)))
+        bounds = idf * (mt / (mt + K1 * (1.0 - B + B * md / avgdl)))
+        if micro:
+            # integer micro-unit scoring: the per-posting contribution
+            # is HALF_UP-rounded to micro BEFORE summing (the driver
+            # oracle's order-independent convention); the block bound
+            # over-estimates by 1 micro so pruning stays safe
+            self.bounds = np.floor(bounds * 1e6 + 0.5).astype(np.int64) + 1
+        else:
+            self.bounds = bounds
         self.payloads = list(g["payload"])
         self.cache: dict[int, tuple] = {}
         self.requested: set[int] = set()
@@ -104,6 +114,8 @@ class _Term:
             contribs = self.idf * (
                 tfs / (tfs + K1 * (1.0 - B + B * dls.astype(np.float64) / avgdl))
             )
+            if self.micro:
+                contribs = np.floor(contribs * 1e6 + 0.5).astype(np.int64)
             self.cache[bi] = (ids, contribs)
         ids, contribs = self.cache[bi]
         s = int(np.searchsorted(ids, start, side="left"))
@@ -194,6 +206,7 @@ def wand_topk(
     id_col: str = "query_id",
     text_col: str = "text",
     n_groups: int | None = None,
+    micro: bool = False,
 ) -> DataFrame:
     """Top-k via interval-at-a-time block-max WAND; exact same results
     as segment_topk, plus per-query decode counters
@@ -208,7 +221,16 @@ def wand_topk(
     cache per term, so a hot term's blocks decode once for the whole
     group. Per-query results are bit-identical to one-query-per-group
     execution (the kernel is unchanged; only placement and caching
-    change)."""
+    change).
+
+    ``micro=True`` switches the kernel to exact integer micro-unit
+    scoring: each per-posting BM25 contribution is HALF_UP-rounded to
+    a micro int BEFORE summing (the driver oracle's order-independent
+    hash convention), block bounds over-estimate by 1 micro so the
+    pruning proof still holds, and the result column is
+    ``score_micro`` (long) instead of ``score`` (double) — making the
+    pruned executor directly comparable against the same ANSI-SQL
+    oracle as the brute-force paths."""
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.topk import (
         query_terms,
     )
@@ -235,6 +257,15 @@ def wand_topk(
     )
     per_group = blocks.join(F.broadcast(gt), "term")
     n_docs, avgdl = index.n_docs, index.avgdl
+    score_name = "score_micro" if micro else "score"
+    schema = T.StructType(
+        [
+            f if f.name != "score"
+            else T.StructField(score_name,
+                               T.LongType() if micro else T.DoubleType())
+            for f in RESULT_SCHEMA
+        ]
+    )
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         terms: dict[str, _Term] = {}
@@ -242,7 +273,7 @@ def wand_topk(
         for term, g in pdf.groupby("term", sort=True):
             g2 = g.sort_values(["salt", "block_seq"])
             terms[term] = _Term(
-                idf_py(int(g2["df"].iloc[0]), n_docs), g2, avgdl
+                idf_py(int(g2["df"].iloc[0]), n_docs), g2, avgdl, micro=micro
             )
             for qid in g["qids"].iloc[0]:
                 q2t.setdefault(qid, []).append(term)
@@ -260,7 +291,9 @@ def wand_topk(
                     "query_id": qid,
                     "rank": np.arange(1, n + 1, dtype="int32"),
                     "doc_id": docs,
-                    "score": scores,
+                    # float64 accumulators are exact for micro ints
+                    # (< 2^53), so this cast is lossless
+                    score_name: scores.astype(np.int64) if micro else scores,
                     "matched_terms": matched,
                     "blocks_decoded": np.int32(decoded),
                     "blocks_total": np.int32(total),
@@ -268,12 +301,12 @@ def wand_topk(
             ))
         if not frames:
             return pd.DataFrame(
-                {f.name: pd.Series(dtype="object") for f in RESULT_SCHEMA}
+                {f.name: pd.Series(dtype="object") for f in schema}
             )
         return pd.concat(frames, ignore_index=True)
 
     return (
         per_group.repartition(n_part, "grp")
         .groupBy("grp")
-        .applyInPandas(run, schema=RESULT_SCHEMA)
+        .applyInPandas(run, schema=schema)
     )

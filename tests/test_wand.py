@@ -49,6 +49,21 @@ def test_wand_prunes_blocks(spark, seg, queries_df):
     assert decoded < total, f"no pruning: decoded {decoded}/{total} blocks"
 
 
+def test_wand_micro_mode_matches_float_ranks(spark, seg, queries_df):
+    """micro=True (exact integer micro-unit scoring, the driver-oracle
+    convention) must produce the same (query, rank, doc) triples as
+    float mode, and its score_micro must equal the float score rounded
+    HALF_UP per posting — here checked end-to-end as total-score
+    proximity (sum of per-term rounding errors < n_terms micro)."""
+    fl = wand_topk(seg, queries_df, k=5).orderBy("query_id", "rank").collect()
+    mi = wand_topk(seg, queries_df, k=5, micro=True)\
+        .orderBy("query_id", "rank").collect()
+    assert [(r["query_id"], r["rank"], r["doc_id"]) for r in fl] == \
+           [(r["query_id"], r["rank"], r["doc_id"]) for r in mi]
+    for f, m in zip(fl, mi):
+        assert abs(m["score_micro"] - f["score"] * 1e6) <= f["matched_terms"]
+
+
 def test_wand_oov_query_yields_nothing(spark, seg):
     q = spark.createDataFrame(
         [("qx", "zzqabsent wwqmissing")], "query_id string, text string"
