@@ -873,6 +873,51 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 """
 
 
+def q_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-max neighborhood predicate (SURVEY §2.2 F3 — the
+    reference's spectrogram peak picking, ``_Shazam_.py:165-183``)
+    generalized to ordered event sequences: events whose value is
+    strictly greater than every neighbor within ±2 rows of the
+    per-user time-ordered stream. Values compare as micro ints so
+    both dialects decide peaks on identical operands."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.peaks import (
+        local_peaks,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("value_micro"),
+    )
+    return local_peaks(
+        ev, ["user_id"], ["ts", "event_id"], "value_micro", w=2
+    ).select("user_id", "event_id", "value_micro")
+
+
+Q_LOCAL_PEAKS_SQL = """
+WITH v AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 1000000.0) AS BIGINT) AS value_micro
+  FROM events
+),
+n AS (
+  SELECT user_id, event_id, value_micro,
+         max(value_micro) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING
+         ) AS lm,
+         max(value_micro) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING
+         ) AS rm
+  FROM v
+)
+SELECT user_id, event_id, value_micro
+FROM n
+WHERE (lm IS NULL OR value_micro > lm)
+  AND (rm IS NULL OR value_micro > rm)
+"""
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators (SURVEY §2.6): event types seen by low- vs
     high-value events — intersect / except / union counts."""
@@ -1391,6 +1436,7 @@ QUERIES: dict[str, callable] = {
     "window_topn": q_window_topn,
     "rollup": q_rollup,
     "events_session": q_events_session,
+    "local_peaks": q_local_peaks,
     "set_ops": q_set_ops,
     "correlated": q_correlated,
     "pivot": q_pivot,
@@ -1436,6 +1482,7 @@ ORACLE_SQL: dict[str, str] = {
     "window_topn": Q_WINDOW_TOPN_SQL,
     "rollup": Q_ROLLUP_SQL,
     "events_session": Q_EVENTS_SESSION_SQL,
+    "local_peaks": Q_LOCAL_PEAKS_SQL,
     "set_ops": Q_SET_OPS_SQL,
     "correlated": Q_CORRELATED_SQL,
     "pivot": Q_PIVOT_SQL,
