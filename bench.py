@@ -196,85 +196,126 @@ def _ceiling_work(_):
     return s
 
 
-def _host_ceiling(n_lo: int, n_hi: int) -> float:
-    """Measured pure-CPU scaling the HOST can deliver between n_lo and
-    n_hi worker processes (fixed total work). This VM's vCPUs are
-    host-contended: 8→32 procs deliver only ~2.7x of the ideal 4x, so
-    raw efficiency numbers must be read against this ceiling."""
+def main_ceiling_leg(n: int) -> None:
+    """One pure-CPU calibration leg (fixed total work over n procs) in
+    its own taskset-confined subprocess — same confinement as the
+    engine legs, so each repeat's ceiling reflects the host state the
+    adjacent engine legs actually ran under."""
     import multiprocessing as mp
 
-    walls = {}
-    for n in (n_lo, n_hi):
-        t0 = time.monotonic()
-        with mp.Pool(n) as p:
-            p.map(_ceiling_work, range(64))
-        walls[n] = time.monotonic() - t0
-    return (walls[n_lo] / walls[n_hi]) / (n_hi / n_lo)
+    t0 = time.monotonic()
+    with mp.Pool(n) as p:
+        p.map(_ceiling_work, range(64))
+    print(f"CEILING_RESULT {time.monotonic() - t0}")
+
+
+def _median(xs):
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else 0.5 * (s[m - 1] + s[m])
 
 
 def main_scaling() -> None:
     """N vs 4N cores on the identical job+input (BASELINE.md protocol:
-    'local[8] and local[32], or N and 4N cores'). Default N=4 vs 16:
-    calibration shows this host delivers ~0.89 ideal scaling for pure
-    CPU at 4→16 procs but only ~0.67 at 8→32 (vCPU oversubscription) —
-    the smaller pair measures the ENGINE, not the hypervisor. Each leg
-    runs taskset-confined in a fresh subprocess; legs are interleaved
-    and repeated, best run kept (page-cache reclaim swings single-shot
-    walls 2-3x)."""
+    'local[8] and local[32], or N and 4N cores'). Default N=4 vs 16.
+    Each engine leg runs taskset-confined in a fresh subprocess; a
+    pure-CPU calibration pair runs INSIDE each repeat (same
+    confinement, adjacent in time) so every repeat carries the host
+    ceiling it actually ran under — this VM's vCPUs are
+    host-oversubscribed and the deliverable ceiling swings 0.3–0.9
+    between minutes, so a single end-of-run calibration misleads.
+    Headline = median across repeats (robust to contention spikes);
+    per-repeat table shows the spread."""
     import subprocess
 
     levels = tuple(
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "4,16").split(",")
     )
     n_lo, n_hi = levels
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
-    runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
     use_taskset = shutil.which("taskset") is not None
+
+    def confined(cmd: list[str], cores: int) -> list[str]:
+        # confine the WHOLE process tree (JVM GC/shuffle/IO threads +
+        # python workers) to `cores` CPUs — without this, the lo leg
+        # borrows idle cores and the baseline is inflated
+        if use_taskset:
+            return ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        return cmd
+
+    me = os.path.abspath(__file__)
+    env = dict(
+        os.environ,
+        # query-scaling leg: a big WAND-only batch (small batches are
+        # latency-bound — fixed multi-second job overheads swamp the
+        # per-query work and scaling is unmeasurable)
+        SPARK_GRAFT_BENCH_QUERIES=os.environ.get(
+            "SPARK_GRAFT_SCALING_QUERIES", "256"
+        ),
+        SPARK_GRAFT_SKIP_BRUTE="1",
+    )
+
+    def run_leg(cores: int) -> dict:
+        proc = subprocess.run(
+            confined([sys.executable, me, "--one", str(cores)], cores),
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(me),
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(f"leg cores={cores} failed")
+        line = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("ENGINE_RESULT ")][-1]
+        return json.loads(line[len("ENGINE_RESULT "):])
+
+    def run_ceiling(cores: int) -> float:
+        proc = subprocess.run(
+            confined([sys.executable, me, "--ceiling-leg", str(cores)], cores),
+            capture_output=True, text=True,
+            cwd=os.path.dirname(me),
+        )
+        line = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("CEILING_RESULT ")][-1]
+        return float(line.split()[1])
+
+    ratio = n_hi / n_lo
+    nq = int(env["SPARK_GRAFT_BENCH_QUERIES"])
+    runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
+    per_repeat: list[dict] = []
     for _ in range(repeats):
+        rep: dict = {}
         for cores in levels:
             time.sleep(30)  # settle: page-cache writeback from the
             # previous leg depresses the next leg's first minutes
-            cmd = [sys.executable, os.path.abspath(__file__), "--one", str(cores)]
-            if use_taskset:
-                # confine the WHOLE process tree (JVM GC/shuffle/IO
-                # threads + python workers) to `cores` CPUs — without
-                # this, the local[8] leg borrows idle cores and the
-                # baseline is inflated
-                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-            # query-scaling leg: a big WAND-only batch (small batches
-            # are latency-bound — fixed multi-second job overheads
-            # swamp the per-query work and scaling is unmeasurable)
-            env = dict(
-                os.environ,
-                SPARK_GRAFT_BENCH_QUERIES=os.environ.get(
-                    "SPARK_GRAFT_SCALING_QUERIES", "256"
-                ),
-                SPARK_GRAFT_SKIP_BRUTE="1",
-            )
-            proc = subprocess.run(
-                cmd,
-                capture_output=True, text=True, env=env,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            if proc.returncode != 0:
-                sys.stderr.write(proc.stderr[-4000:])
-                raise RuntimeError(f"leg cores={cores} failed")
-            line = [ln for ln in proc.stdout.splitlines()
-                    if ln.startswith("ENGINE_RESULT ")][-1]
-            runs[cores].append(json.loads(line[len("ENGINE_RESULT "):]))
+            rep[f"ceil_{cores}"] = run_ceiling(cores)
+            r = run_leg(cores)
+            runs[cores].append(r)
+            rep[cores] = r
+        rep["ceiling"] = (rep[f"ceil_{n_lo}"] / rep[f"ceil_{n_hi}"]) / ratio
+        rep["build_eff"] = (
+            rep[n_hi]["_index_docs_per_sec"] / rep[n_lo]["_index_docs_per_sec"]
+        ) / ratio
+        rep["query_eff"] = (
+            rep[n_lo]["wand_topk_batch"] / rep[n_hi]["wand_topk_batch"]
+        ) / ratio
+        per_repeat.append(rep)
 
     results = {
         c: min(rs, key=lambda r: r["index_build"]) for c, rs in runs.items()
     }
-    ratio = n_hi / n_lo
-    nq = int(os.environ.get("SPARK_GRAFT_SCALING_QUERIES", "256"))
-    thr_lo = max(r["_index_docs_per_sec"] for r in runs[n_lo])
-    thr_hi = max(r["_index_docs_per_sec"] for r in runs[n_hi])
-    build_eff = (thr_hi / thr_lo) / ratio
-    q_lo = max(nq / r["wand_topk_batch"] for r in runs[n_lo])
-    q_hi = max(nq / r["wand_topk_batch"] for r in runs[n_hi])
-    query_eff = (q_hi / q_lo) / ratio
-    ceiling = _host_ceiling(n_lo, n_hi)
+    thr_lo = _median([r["_index_docs_per_sec"] for r in runs[n_lo]])
+    thr_hi = _median([r["_index_docs_per_sec"] for r in runs[n_hi]])
+    q_lo = _median([nq / r["wand_topk_batch"] for r in runs[n_lo]])
+    q_hi = _median([nq / r["wand_topk_batch"] for r in runs[n_hi]])
+    build_eff = _median([r["build_eff"] for r in per_repeat])
+    query_eff = _median([r["query_eff"] for r in per_repeat])
+    ceiling = _median([r["ceiling"] for r in per_repeat])
+    build_norm = _median(
+        [min(r["build_eff"] / r["ceiling"], 1.0) for r in per_repeat]
+    )
+    query_norm = _median(
+        [min(r["query_eff"] / r["ceiling"], 1.0) for r in per_repeat]
+    )
 
     os.makedirs("BENCH", exist_ok=True)
     lo, hi = f"local[{n_lo}]", f"local[{n_hi}]"
@@ -290,11 +331,11 @@ def main_scaling() -> None:
         "|---|---|---|---|",
         f"| index build (docs/sec) | {thr_lo:.1f} | {thr_hi:.1f} | {build_eff:.3f} |",
         f"| WAND top-k batch (q/sec) | {q_lo:.2f} | {q_hi:.2f} | {query_eff:.3f} |",
-        f"| pure-CPU host ceiling (same proc counts) | — | — | {ceiling:.3f} |",
+        f"| pure-CPU host ceiling (median, same proc counts) | — | — | {ceiling:.3f} |",
         f"| build efficiency normalized to host ceiling | — | — "
-        f"| {build_eff / ceiling:.3f} |",
+        f"| {build_norm:.3f} |",
         f"| query efficiency normalized to host ceiling | — | — "
-        f"| {query_eff / ceiling:.3f} |",
+        f"| {query_norm:.3f} |",
         "",
         f"| phase | {lo} sec | {hi} sec |",
         "|---|---|---|",
@@ -308,19 +349,46 @@ def main_scaling() -> None:
             )
     lines += [
         "",
+        "## Per-repeat runs (same code, same input — each repeat "
+        "carries the host ceiling measured adjacent to its legs)",
+        "",
+        "| repeat | build eff raw | query eff raw | host ceiling | "
+        "build eff normalized | query eff normalized | "
+        f"{lo} build s | {hi} build s |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for i, rep in enumerate(per_repeat):
+        lines.append(
+            f"| {i + 1} | {rep['build_eff']:.3f} | {rep['query_eff']:.3f} "
+            f"| {rep['ceiling']:.3f} "
+            f"| {min(rep['build_eff'] / rep['ceiling'], 1.0):.3f} "
+            f"| {min(rep['query_eff'] / rep['ceiling'], 1.0):.3f} "
+            f"| {rep[n_lo]['index_build']:.1f} "
+            f"| {rep[n_hi]['index_build']:.1f} |"
+        )
+    lines += [
+        "",
         f"Protocol per BASELINE.md: efficiency = (throughput@{hi} / "
         f"throughput@{lo}) / {ratio:.0f} — the sandbox stand-in for N vs "
-        "4N executor clusters. Each level runs taskset-confined in a "
-        "fresh subprocess, levels interleaved, repeated, best run kept.",
+        "4N executor clusters. Every leg (engine AND pure-CPU "
+        "calibration) runs taskset-confined in a fresh subprocess; "
+        "levels interleaved; headline = median across repeats; "
+        "normalized values are capped at 1.0 (a repeat where the "
+        "engine out-scales the calibration just means the host got "
+        "MORE contended during the calibration window).",
         "",
         "Measurement caveats: (a) local mode shares one JVM/driver and "
         "page cache, under-reporting true multi-node scaling when I/O- "
         "or driver-bound; (b) this sandbox VM's vCPUs are "
-        "host-oversubscribed (loadavg >10 with zero guest processes; "
-        "pure-CPU multiprocessing itself scales at only the ceiling "
-        "shown above) — engine efficiency should be read against that "
-        "ceiling, and 8→32 pairs are not measurable here (ceiling "
-        "~0.67).",
+        "host-oversubscribed — pure-CPU multiprocessing itself scales "
+        "at only the per-repeat ceilings shown above (observed "
+        "0.33-0.85 across sessions with zero guest load), so raw "
+        "efficiency is bounded by the hypervisor, not the engine; on "
+        "a real N vs 4N executor cluster the plans have no shared-JVM "
+        "or shared-page-cache bottleneck (the build's only wide "
+        "exchange is the salted groupBy(bucket,term,salt); queries "
+        "shuffle only compressed bucket-pruned blocks once per query "
+        "GROUP).",
     ]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -330,14 +398,24 @@ def main_scaling() -> None:
         "build_scaling_efficiency": round(build_eff, 3),
         "query_scaling_efficiency": round(query_eff, 3),
         "host_cpu_ceiling": round(ceiling, 3),
-        "build_eff_normalized": round(build_eff / ceiling, 3),
-        "query_eff_normalized": round(query_eff / ceiling, 3),
+        "build_eff_normalized": round(build_norm, 3),
+        "query_eff_normalized": round(query_norm, 3),
+        "per_repeat": [
+            {
+                "build_eff": round(r["build_eff"], 3),
+                "query_eff": round(r["query_eff"], 3),
+                "ceiling": round(r["ceiling"], 3),
+            }
+            for r in per_repeat
+        ],
     }))
 
 
 if __name__ == "__main__":
     if "--one" in sys.argv:
         main_one(int(sys.argv[sys.argv.index("--one") + 1]))
+    elif "--ceiling-leg" in sys.argv:
+        main_ceiling_leg(int(sys.argv[sys.argv.index("--ceiling-leg") + 1]))
     elif "--scaling" in sys.argv:
         main_scaling()
     else:

@@ -150,3 +150,64 @@ def test_streaming_dedup_first_wins_across_batches(spark, tmp_path):
     ).write.mode("append").parquet(src)
     got2 = run("dd2")
     assert got2 == {3}  # cross-batch dup suppressed via restored state
+
+
+def test_stream_match_resumes_at_unprocessed_files(
+    spark, corpus_df, queries_pdf, tmp_path
+):
+    """Checkpointed query matching (the reference's milestone-resume
+    loop, Matching.py:46-57): run 1 drains the first query file;
+    run 2 (same checkpoint, old file still present) matches ONLY the
+    new file — no re-matching, no duplicate results — and every
+    result row equals the batch WAND answer."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.wand import (
+        wand_topk,
+    )
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.streaming.match import (
+        read_match_results,
+        stream_match,
+    )
+
+    idx_dir = str(tmp_path / "midx")
+    build_segment_index(spark, with_doc_id(corpus_df), idx_dir,
+                        n_buckets=4, hot_df=8, block_size=16)
+    qdir = str(tmp_path / "queries")
+    out = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "mckpt")
+
+    qa = spark.createDataFrame(queries_pdf.iloc[:5][["query_id", "text"]])
+    qb = spark.createDataFrame(queries_pdf.iloc[5:10][["query_id", "text"]])
+
+    qa.write.mode("append").parquet(qdir)
+    stream_match(spark, qdir, idx_dir, out, ckpt, k=3).awaitTermination(300)
+    first = read_match_results(spark, out)
+    batches_after_run1 = {r["batch_id"] for r in first.select("batch_id").distinct().collect()}
+
+    qb.write.mode("append").parquet(qdir)
+    stream_match(spark, qdir, idx_dir, out, ckpt, k=3).awaitTermination(300)
+    res = read_match_results(spark, out)
+
+    # run 2 created only NEW batch ids (old files not reprocessed)
+    new_batches = {r["batch_id"] for r in res.select("batch_id").distinct().collect()}
+    assert batches_after_run1 < new_batches
+    run2_qids = {
+        r["query_id"]
+        for r in res.filter(
+            ~F.col("batch_id").isin(list(batches_after_run1))
+        ).select("query_id").distinct().collect()
+    }
+    idx = SegmentIndex.open(spark, idx_dir)
+    want_qb = {
+        r["query_id"] for r in wand_topk(idx, qb, k=3).collect()
+    }  # queries with zero index hits yield no rows in either path
+    assert run2_qids == want_qb
+
+    # every (query, rank, doc) equals the batch WAND answer; no dupes
+    all_q = spark.createDataFrame(queries_pdf.iloc[:10][["query_id", "text"]])
+    want = {
+        (r["query_id"], r["rank"], r["doc_id"])
+        for r in wand_topk(idx, all_q, k=3).collect()
+    }
+    got_rows = res.select("query_id", "rank", "doc_id").collect()
+    got = {(r["query_id"], r["rank"], r["doc_id"]) for r in got_rows}
+    assert got == want and len(got_rows) == len(want)
