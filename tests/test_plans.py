@@ -101,3 +101,46 @@ def test_narrow_ops_have_no_shuffle(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
     for op in (with_lang_id, with_quality, with_fingerprint):
         assert count_shuffles(op(docs)) == 0, op.__name__
+
+
+def test_local_peaks_single_exchange(spark):
+    """local_peaks uses two frame-bounded window maxima over the SAME
+    (partition, order) spec — they must share one sort: exactly one
+    shuffle Exchange in the plan, no self-join, no extra sort."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark import api
+
+    df = api.q_local_peaks(spark, SF)
+    assert count_shuffles(df) == 1, audit(df)
+
+
+def test_wand_batched_plan(spark, corpus_df, tmp_path):
+    """Batched WAND: the per-(group, term) query map joins the block
+    side as a BROADCAST (blocks never replicate per query), and the
+    only shuffles are the block spread + the repartition by group —
+    the shape whose payload volume scales with groups, not batch
+    size."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.index_build import (
+        with_doc_id,
+    )
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
+        SegmentIndex,
+        build_segment_index,
+    )
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.wand import (
+        wand_topk,
+    )
+
+    d = str(tmp_path / "wandplan")
+    build_segment_index(spark, with_doc_id(corpus_df), d, n_buckets=4,
+                        hot_df=8, block_size=16)
+    idx = SegmentIndex.open(spark, d)
+    qs = spark.createDataFrame(
+        [("q1", "vector scan filter"), ("q2", "scan batch stream")],
+        "query_id string, text string",
+    )
+    df = wand_topk(idx, qs, k=3)
+    a = audit(df)
+    assert a["broadcast_join"], a
+    # bounded: query tokenize/explode + tiny (grp,term) agg + block
+    # spread + repartition-by-group; NOT one exchange per query
+    assert a["shuffles"] <= 4, a
