@@ -195,6 +195,74 @@ def ivf_topk(emb: DataFrame, query_vecs: DataFrame, k: int = 10,
     )
 
 
+def ivf_persist(emb: DataFrame, out_dir: str,
+                n_cells: int = DEFAULT_CELLS,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> None:
+    """Ingest-time IVF layout: vectors written PARTITIONED BY cell
+    (plus the centroid table) — the storage shape that makes probes
+    prune files instead of scanning the corpus. At 10^12 vectors this
+    is the difference between reading n_probe/n_cells of the data and
+    reading all of it; the assignment itself is one broadcast
+    cross-join pass (no shuffle of the vector table beyond the
+    partitioned write)."""
+    cent = ivf_centroids(emb, n_cells, id_col, vec_col)
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("vnorm", _norm(F.col("v")))
+    assigned = ivf_assign(base, cent)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{out_dir}/vectors"
+    )
+    cent.write.mode("overwrite").parquet(f"{out_dir}/centroids")
+
+
+def ivf_topk_persisted(spark, index_dir: str, query_vecs: DataFrame,
+                       k: int = 10, n_probe: int = DEFAULT_PROBE,
+                       qid_col: str = "query_id",
+                       qvec_col: str = "qvec") -> DataFrame:
+    """IVF top-k over the persisted layout: probe cells come from the
+    (tiny, broadcast) centroid table; the vector scan is joined on its
+    PARTITION column, so dynamic partition pruning reads only the
+    probed cells' files (asserted in test_plans). Values are identical
+    to the in-memory ``ivf_topk`` — same centroids, same assignment,
+    same scoring."""
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    qs = query_vecs.select(
+        F.col(qid_col).alias("query_id"), _as_double(F.col(qvec_col)).alias("q")
+    ).withColumn("qnorm", _norm(F.col("q")))
+    qscored = qs.join(F.broadcast(cent)).withColumn(
+        "ccos",
+        _dot(F.col("q"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q", "qnorm", F.col("cid").alias("cell"))
+    )
+
+    vectors = spark.read.parquet(f"{index_dir}/vectors")
+    cand = vectors.join(F.broadcast(probes), "cell").withColumn(
+        "cosine_micro",
+        F.round(
+            _dot(F.col("v"), F.col("q")) * F.lit(1_000_000.0)
+            / (F.col("vnorm") * F.col("qnorm"))
+        ).cast("long"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_micro").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.select("query_id", "vec_id", "cosine_micro").distinct()
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine_micro")
+    )
+
+
 def duckdb_ivf_topk_sql(dim: int, k: int = 10,
                         n_cells: int = DEFAULT_CELLS,
                         n_probe: int = DEFAULT_PROBE,

@@ -126,3 +126,29 @@ def test_ivf_recall_on_clustered_vectors(spark):
         for q, want in exact_sets.items()
     ]
     assert sum(recalls) / len(recalls) >= 0.8, f"mean recall {recalls}"
+
+
+def test_ivf_persisted_layout_matches_and_prunes(spark, emb, qs, tmp_path):
+    """The persisted cell-partitioned layout must return exactly the
+    in-memory ivf_topk answer, and its probe plan must carry dynamic
+    partition pruning on the cell column — the 'read n_probe/n_cells
+    of the data' storage story, asserted."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        ivf_persist,
+        ivf_topk,
+        ivf_topk_persisted,
+    )
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.plans.audit import (
+        plan_string,
+    )
+
+    d = str(tmp_path / "ivfidx")
+    ivf_persist(emb, d)
+    got = ivf_topk_persisted(spark, d, qs, k=5)
+    want = ivf_topk(emb, qs, k=5)
+    g = {(r["query_id"], r["rank"], r["vec_id"], r["cosine_micro"])
+         for r in got.collect()}
+    w = {(r["query_id"], r["rank"], r["vec_id"], r["cosine_micro"])
+         for r in want.collect()}
+    assert g == w and len(g) > 0
+    assert "dynamicpruning" in plan_string(got).lower(), plan_string(got)
