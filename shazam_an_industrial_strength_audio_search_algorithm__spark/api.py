@@ -1348,6 +1348,30 @@ def _ann_ivf_sql() -> str:
     return duckdb_ivf_topk_sql(dim=64, k=10)
 
 
+_IVF_DISK_CACHE: dict[str, str] = {}
+
+
+def q_ann_ivf_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN through the PERSISTED cell-partitioned layout: probes
+    prune vector partitions via dynamic partition pruning. Same value
+    oracle as the in-memory ``ann_ivf`` — one oracle, two physical
+    plans (scan-side pruning vs in-memory assignment)."""
+    import tempfile
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        ivf_persist,
+        ivf_topk_persisted,
+    )
+
+    if sf_dir not in _IVF_DISK_CACHE:
+        d = tempfile.mkdtemp(prefix="driver_ivfidx_")
+        ivf_persist(load(spark, sf_dir, "embeddings"), d)
+        _IVF_DISK_CACHE[sf_dir] = d
+    return ivf_topk_persisted(
+        spark, _IVF_DISK_CACHE[sf_dir], _query_vecs(spark, sf_dir), k=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal battery (operators/multimodal.py)
 # ---------------------------------------------------------------------------
@@ -1455,6 +1479,7 @@ QUERIES: dict[str, callable] = {
     "ann_cosine": q_ann_cosine,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_disk": q_ann_ivf_disk,
     # multimodal plumbing
     "media_meta": q_media_meta,
     "media_frames": q_media_frames,
@@ -1497,6 +1522,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_cosine": Q_ANN_COSINE_SQL,
     "ann_lsh": _ann_lsh_sql(),
     "ann_ivf": _ann_ivf_sql(),
+    "ann_ivf_disk": _ann_ivf_sql(),  # one oracle, two physical plans
     "media_meta": Q_MEDIA_META_SQL,
     "media_frames": Q_MEDIA_FRAMES_SQL,
 }

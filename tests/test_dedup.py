@@ -137,3 +137,33 @@ def test_embedding_neardup(spark):
     # self-pairs excluded by a < b; sanity: all surfaced pairs ≥ 0.99
     for r in pairs:
         assert r["cosine_micro"] >= 990_000
+
+
+def test_prefix_filter_property_random_corpora(spark):
+    """Property: for ANY corpus and near-dup threshold, the prefix+
+    length-filtered path returns exactly the naive kernel's pairs.
+    Tiny alphabet + short docs force heavy shingle collisions — the
+    regime where a buggy prefix bound would drop pairs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    token = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+    doc = st.lists(token, min_size=3, max_size=12).map(" ".join)
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(docs=st.lists(doc, min_size=2, max_size=8),
+           t=st.sampled_from([0.5, 0.7, 0.9]))
+    def check(docs, t):
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+        )
+        key = lambda r: (r["doc_a"], r["doc_b"])  # noqa: E731
+        prefix = {key(r): (r["n_common"], r["jaccard_micro"])
+                  for r in ngram_jaccard_pairs(df, threshold=t).collect()}
+        naive = {key(r): (r["n_common"], r["jaccard_micro"])
+                 for r in ngram_jaccard_pairs(df, threshold=0.0).collect()
+                 if r["jaccard_micro"] >= int(t * 1_000_000)}
+        assert prefix == naive
+
+    check()
