@@ -1077,6 +1077,34 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting pair per doc: whitespace word count + BPE-ish
+    subword count (letter runs / single digits / single symbols) —
+    zero-shuffle column expressions."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.text import (
+        with_token_counts,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_token_counts(docs).select(
+        "doc_id", "ws_tokens", "bpe_ish_tokens"
+    )
+
+
+def _token_count_sql() -> str:
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.text import (
+        duckdb_token_counts_sql,
+    )
+
+    cols = duckdb_token_counts_sql("text")
+    return (
+        "SELECT doc_id, "
+        f"{cols['ws_tokens']} AS ws_tokens, "
+        f"{cols['bpe_ish_tokens']} AS bpe_ish_tokens "
+        "FROM documents"
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.text import (
         with_fingerprint,
@@ -1101,6 +1129,7 @@ def _text_sql():
             f"FROM documents"
         ),
         "quality": f"SELECT doc_id, {quality_cols} FROM documents",
+        "token_count": _token_count_sql(),
         "fingerprint": (
             f"SELECT doc_id, {duckdb_fingerprint_sql('text')} AS fingerprint "
             f"FROM documents"
@@ -1469,6 +1498,7 @@ QUERIES: dict[str, callable] = {
     # text analysis
     "lang_id": q_lang_id,
     "quality": q_quality,
+    "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     # dedup
     "dedup_exact": q_dedup_exact,

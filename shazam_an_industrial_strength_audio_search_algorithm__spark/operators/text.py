@@ -151,3 +151,39 @@ def duckdb_fingerprint_sql(text: str) -> str:
         f"list_transform({toks}, t -> CAST(unicode(t) * 7 + length(t) AS BIGINT))), "
         f"(acc, v) -> (acc * {FP_MULT} + v) % {MOD}), 0)"
     )
+
+
+# BPE-ish pre-tokenizer pattern (GPT-2-style word/digit/punct runs,
+# simplified to the regex subset Java regex and RE2 share): a letter
+# run, a single digit, or a single non-alnum-non-space symbol. The
+# count approximates subword-tokenizer token counts for budgeting
+# training data — exact string math in both dialects.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]"
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token-count features: whitespace-delimited word count and a
+    BPE-ish subword count (letter runs + single digits + single
+    symbols) — the budgeting pair a training-data pipeline reports per
+    document. Pure column expressions, zero shuffle."""
+    ws = F.size(
+        F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+    )
+    bpe = F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
+    return (
+        df.withColumn("ws_tokens", ws.cast("long"))
+        .withColumn("bpe_ish_tokens", bpe.cast("long"))
+    )
+
+
+def duckdb_token_counts_sql(text: str) -> dict[str, str]:
+    return {
+        "ws_tokens": (
+            f"CAST(len(list_filter(regexp_split_to_array({text}, '\\s+'), "
+            f"t -> t <> '')) AS BIGINT)"
+        ),
+        "bpe_ish_tokens": (
+            f"CAST(len(regexp_extract_all({text}, "
+            f"'{BPE_ISH_PATTERN}')) AS BIGINT)"
+        ),
+    }

@@ -96,10 +96,12 @@ def test_narrow_ops_have_no_shuffle(spark):
         with_fingerprint,
         with_lang_id,
         with_quality,
+        with_token_counts,
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
-    for op in (with_lang_id, with_quality, with_fingerprint):
+    for op in (with_lang_id, with_quality, with_fingerprint,
+               with_token_counts):
         assert count_shuffles(op(docs)) == 0, op.__name__
 
 
