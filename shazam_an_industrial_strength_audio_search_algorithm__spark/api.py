@@ -873,6 +873,46 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 """
 
 
+def q_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed last-writer-wins dedup (SURVEY §2.1 S1 — the reference's
+    dict semantics over duplicate wav.scp keys, ``Hashing.py:30``)
+    through a FULL value oracle: duplicate keys are synthesized from
+    the documents table (key = doc_id mod 100, ingest order = doc_id),
+    the winner per key is the highest ingest_seq, and the winner's
+    content hash proves the right ROW survived — not just the right
+    count."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.index_build import (
+        dedup_last_wins,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.lit("corpus").alias("repo"),
+        (F.col("doc_id") % 100).cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("doc_id").alias("ingest_seq"),
+        F.col("text"),
+    )
+    return dedup_last_wins(docs, strict=True).select(
+        F.col("path").alias("key"),
+        F.col("ingest_seq").alias("winner_doc_id"),
+        F.sha2(F.col("text"), 256).alias("winner_sha"),
+    )
+
+
+Q_LAST_WINS_SQL = """
+WITH ranked AS (
+  SELECT CAST(doc_id % 100 AS VARCHAR) AS key,
+         doc_id AS winner_doc_id,
+         sha256(text) AS winner_sha,
+         row_number() OVER (
+           PARTITION BY doc_id % 100 ORDER BY doc_id DESC
+         ) AS rn
+  FROM documents
+)
+SELECT key, winner_doc_id, winner_sha FROM ranked WHERE rn = 1
+"""
+
+
 def q_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-max neighborhood predicate (SURVEY §2.2 F3 — the
     reference's spectrogram peak picking, ``_Shazam_.py:165-183``)
@@ -1490,6 +1530,7 @@ QUERIES: dict[str, callable] = {
     "rollup": q_rollup,
     "events_session": q_events_session,
     "local_peaks": q_local_peaks,
+    "last_wins": q_last_wins,
     "set_ops": q_set_ops,
     "correlated": q_correlated,
     "pivot": q_pivot,
@@ -1538,6 +1579,7 @@ ORACLE_SQL: dict[str, str] = {
     "rollup": Q_ROLLUP_SQL,
     "events_session": Q_EVENTS_SESSION_SQL,
     "local_peaks": Q_LOCAL_PEAKS_SQL,
+    "last_wins": Q_LAST_WINS_SQL,
     "set_ops": Q_SET_OPS_SQL,
     "correlated": Q_CORRELATED_SQL,
     "pivot": Q_PIVOT_SQL,
