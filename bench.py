@@ -137,10 +137,20 @@ def run_engine_suite(spark, n_docs: int) -> dict[str, float]:
 
 
 def run_battery(spark, sf_dir: str) -> dict[str, float]:
-    """Time each driver-battery query (collect() to force execution)."""
+    """Time each driver-battery query (collect() to force execution).
+
+    One-time artifacts (the v1 index, the persisted segment index, the
+    persisted IVF layout) are built FIRST and reported as
+    ``battery_setup`` — otherwise whichever query happens to run first
+    absorbs a build it didn't cause and per-query times lie."""
     from shazam_an_industrial_strength_audio_search_algorithm__spark import api
 
     times = {}
+    t0 = time.monotonic()
+    api.docs_index(spark, sf_dir).doc_terms.count()
+    api.docs_segment_index(spark, sf_dir)
+    api.q_ann_ivf_disk(spark, sf_dir)  # persists the IVF layout
+    times["battery_setup"] = round(time.monotonic() - t0, 3)
     for name, fn in api.QUERIES.items():
         t0 = time.monotonic()
         fn(spark, sf_dir).collect()
