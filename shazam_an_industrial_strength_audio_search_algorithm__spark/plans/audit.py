@@ -52,16 +52,26 @@ def count_shuffles(df: DataFrame) -> int:
     return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
 
 
-def codegen_stage_count(df: DataFrame) -> int:
+def codegen_stage_count(df: DataFrame, execute: bool = False) -> int:
+    """WholeStageCodegen stages. Under AQE the pre-execution plan
+    hides codegen markers entirely; pass ``execute=True`` to
+    materialize the final plan first (cheap at test/doc scale) and
+    count the ``*(N)`` stage markers of the finalized tree."""
+    if execute:
+        df.count()
+        s = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        n = len(set(re.findall(r"\*\((\d+)\)", s)))
+        if n:
+            return n
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan_string(df))))
 
 
-def audit(df: DataFrame) -> dict:
+def audit(df: DataFrame, execute: bool = False) -> dict:
     """One-call summary used by tests and by hand at the REPL."""
     return {
         "pushed_filters": pushed_filters(df),
         "read_schemas": read_schemas(df),
         "broadcast_join": has_broadcast_join(df),
         "shuffles": count_shuffles(df),
-        "codegen_stages": codegen_stage_count(df),
+        "codegen_stages": codegen_stage_count(df, execute=execute),
     }
