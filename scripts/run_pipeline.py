@@ -39,7 +39,12 @@ only calls ``SparkSession.builder.getOrCreate()`` and inherits them.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# run from anywhere: the engine package sits one level above scripts/
+# (under spark-submit --py-files the zip is already on the path)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _spark():
@@ -84,6 +89,20 @@ def main(argv: list[str]) -> int:
     r.add_argument("--index", required=True)
     r.add_argument("--version", type=int, required=True)
 
+    # resumable query matching: query parquet files appearing under
+    # --queries flow through WAND under a Structured Streaming
+    # checkpoint; a restart matches only unprocessed files (the
+    # reference's milestone-resume loop, Matching.py:46-57)
+    sm = sub.add_parser("stream-match")
+    sm.add_argument("--index", required=True)
+    sm.add_argument("--queries", required=True)
+    sm.add_argument("--out", required=True)
+    sm.add_argument("--checkpoint", required=True)
+    sm.add_argument("--k", type=int, default=10)
+    sm.add_argument("--continuous", action="store_true",
+                    help="keep running; default drains available files "
+                         "and stops (availableNow)")
+
     args = p.parse_args(argv)
 
     if args.cmd == "restore":
@@ -96,6 +115,20 @@ def main(argv: list[str]) -> int:
         return 0
 
     spark = _spark()
+
+    if args.cmd == "stream-match":
+        from shazam_an_industrial_strength_audio_search_algorithm__spark.streaming.match import (
+            stream_match,
+        )
+
+        sq = stream_match(
+            spark, args.queries, args.index, args.out, args.checkpoint,
+            k=args.k, trigger_available_now=not args.continuous,
+        )
+        sq.awaitTermination()
+        print(f"stream-match drained -> {args.out} (checkpoint "
+              f"{args.checkpoint})")
+        return 0
 
     if args.cmd == "build":
         from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
