@@ -170,11 +170,12 @@ def main_default() -> None:
 
     queries = {k: round(v, 3) for k, v in engine.items() if not k.startswith("_")}
     queries.update(battery)
+    n_battery = len([k for k in battery if k != "battery_setup"])
     print(
         json.dumps(
             {
                 "metric": "headline suite wall-clock (index build + BM25/WAND "
-                          f"top-k on synthetic corpus + {len(battery)}-query "
+                          f"top-k on synthetic corpus + {n_battery}-query "
                           "battery)",
                 "value": round(total, 3),
                 "unit": "sec",
@@ -304,9 +305,14 @@ def main_scaling() -> None:
             capture_output=True, text=True,
             cwd=os.path.dirname(me),
         )
-        line = [ln for ln in proc.stdout.splitlines()
-                if ln.startswith("CEILING_RESULT ")][-1]
-        return float(line.split()[1])
+        lines = [ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("CEILING_RESULT ")]
+        if proc.returncode != 0 or not lines:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(
+                f"ceiling leg cores={cores} kind={kind} failed"
+            )
+        return float(lines[-1].split()[1])
 
     ratio = n_hi / n_lo
     nq = int(env["SPARK_GRAFT_BENCH_QUERIES"])

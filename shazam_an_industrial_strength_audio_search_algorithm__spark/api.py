@@ -1255,7 +1255,7 @@ WHERE n_common * 1000000.0 / (sa.n_shingles + sb.n_shingles - n_common)
 """
 
 Q_NGRAM_JACCARD_SQL = _NGRAM_JACCARD_SQL_T.replace("__T_MICRO__", "800000")
-Q_MINHASH_LSH_SQL = _NGRAM_JACCARD_SQL_T.replace("__T_MICRO__", "500000")
+Q_MINHASH_LSH_SQL = _NGRAM_JACCARD_SQL_T.replace("__T_MICRO__", "800000")
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1266,19 +1266,22 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (64 perms × 16 bands) recalled every true pair on this corpus
     while touching only candidates.
 
-    Threshold 0.5 = the banding's s-curve operating point
-    ((1/bands)^(1/rows) = (1/16)^(1/4) ≈ 0.5): above it recall is
-    near-certain (miss probability (1−J⁴)¹⁶ ≈ 2e-4 at J = 0.8), below
-    it pairs are invisible BY DESIGN — a threshold under the operating
-    point makes the oracle equality claim false at scale (verified:
-    at sf0.1 two J≈0.13 pairs escape all 16 bands). Same
-    parameter-vs-guarantee alignment as SimHash's chunk count."""
+    LSH is probabilistic: the 16-band × 4-row s-curve inflection sits
+    at (1/16)^(1/4) ≈ 0.5 where per-pair recall is only ~64%, so an
+    equality gate is only sound where every true pair's recall is
+    near-certain. Threshold 0.8 (miss probability (1−J⁴)¹⁶ ≈ 2e-4 per
+    pair at J = 0.8, vanishing toward J = 1) is that regime; the
+    deterministic seeded hashes make the gate reproducible, and it is
+    verified hash-equal at sf0.01 AND sf0.1. Below the inflection
+    pairs are invisible BY DESIGN (measured: two J≈0.13 pairs at
+    sf0.1 escape all 16 bands) — same parameter-vs-guarantee
+    alignment as SimHash's chunk count."""
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.dedup import (
         minhash_lsh_pairs,
     )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return minhash_lsh_pairs(docs, threshold=0.5).select(
+    return minhash_lsh_pairs(docs, threshold=0.8).select(
         "doc_a", "doc_b", "n_common", "jaccard_micro"
     )
 

@@ -182,8 +182,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     MinHash LSH blocking (``minhash_lsh_pairs``), not a better exact
     join. threshold == 0 likewise means every co-shingled pair."""
     # the shingle frame feeds df-count, ranking, and both verify
-    # branches — persist so the regex tokenizer runs once, not 5×
-    sh = shingles(df, id_col, text_col, n).persist()
+    # branches — persist so the regex tokenizer runs once, not 5×.
+    # MEMORY_ONLY on purpose: the returned frame is lazy so this
+    # function can never unpersist; memory-only blocks are LRU-evicted
+    # under pressure (degrading to recompute), where MEMORY_AND_DISK
+    # blocks would accumulate on executor disks for the session's life
+    from pyspark import StorageLevel
+
+    sh = shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_ONLY)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     if threshold < 0.5:
         a = sh.alias("a")
@@ -197,7 +203,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         )
         return _jaccard_from_inter(inter, sizes, threshold)
 
-    t_micro = int(round(threshold * 1_000_000))
+    # the output filter keeps pairs with round(J·1e6) ≥ t_micro, i.e.
+    # J ≥ (t_micro − 0.5)/1e6 — candidate generation must therefore
+    # guarantee recall down to that HALF-MICRO-relaxed threshold, not
+    # to t itself, or boundary pairs that round up get pruned. All
+    # bounds below use the doubled-integer form (2·t_micro − 1)/2e6.
+    t_micro = int(threshold * 1_000_000)  # same truncation as the
+    # output filter (_jaccard_from_inter)
+    t2 = 2 * t_micro - 1
     hashed = sh.withColumn("h", F.xxhash64("shingle"))
     # corpus df per shingle-hash: the canonical-order key. Counting on
     # the 8-byte hash (not the string) keeps the wide agg narrow; a
@@ -217,9 +230,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             F.count(F.lit(1)).over(Window.partitionBy("doc_id")),
         )
     )
-    # prefix length |s| − ⌈t·|s|⌉ + 1, in integer micro arithmetic
+    # prefix length |s| − ⌈t'·|s|⌉ + 1 at the relaxed t' = t2/2e6
     req = F.floor(
-        (F.col("n_shingles") * t_micro + (1_000_000 - 1)) / 1_000_000
+        (F.col("n_shingles") * t2 + (2_000_000 - 1)) / 2_000_000
     )
     prefix = ranked.filter(
         F.col("rn") <= F.col("n_shingles") - req + F.lit(1)
@@ -232,9 +245,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         a.join(b, "h")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
-            # length filter: J ≥ t ⇒ t·max ≤ min
-            & (F.least("size_a", "size_b") * F.lit(1_000_000)
-               >= F.greatest("size_a", "size_b") * F.lit(t_micro))
+            # length filter at the relaxed t': J ≥ t' ⇒ t'·max ≤ min
+            & (F.least("size_a", "size_b") * F.lit(2_000_000)
+               >= F.greatest("size_a", "size_b") * F.lit(t2))
         )
         .select("doc_a", "doc_b")
         .distinct()
@@ -446,14 +459,23 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     candidate collisions; keep max_hamming small (≤ 3 is the
     published near-dup operating point for 64-bit SimHash)."""
     n_chunks = min(max_hamming + 1, 64)
+
+    def chunk_expr(off: int, w: int):
+        # chunks stay LONG: a 32-bit chunk can exceed int32 (ANSI-mode
+        # CAST_OVERFLOW), and the 64-bit single-chunk case (pigeonhole
+        # degenerate max_hamming=0 → whole signature) has no
+        # representable mask literal at all
+        shifted = F.shiftrightunsigned(F.col("simhash"), off)
+        if w >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << w) - 1))
+
     sigs = simhash_signatures(df, id_col, text_col, term_hash=term_hash)
     chunked = sigs.select(
         "doc_id", "simhash",
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned(F.col("simhash"), off)
-                .bitwiseAND(F.lit((1 << w) - 1)).cast("int")
-                for off, w in _chunk_bounds(n_chunks)
+                chunk_expr(off, w) for off, w in _chunk_bounds(n_chunks)
             ])
         ).alias("chunk_idx", "chunk"),
     )

@@ -128,24 +128,36 @@ def ivf_centroids(emb: DataFrame, n_cells: int = DEFAULT_CELLS,
 
 
 def ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid (max cosine; ties → lowest cid) assignment —
-    a broadcast cross-join, O(N × n_cells × d) NARROW work, no
-    shuffle of the vector table. At 10^12 vectors this runs once at
-    ingest and the base table is written partitioned by ``cell`` so
-    probes prune partitions (the same layout story as the segment
-    index buckets)."""
-    scored = vectors.join(F.broadcast(centroids)).withColumn(
-        "ccos",
-        _dot(F.col("v"), F.col("cv")) / (F.col("vnorm") * F.col("cnorm")),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("cid").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "vnorm", F.col("cid").alias("cell"))
-    )
+    """Nearest-centroid (max cosine; ties → lowest cid) assignment as
+    a NARROW per-row argmax: the centroid table (n_cells rows — a dim
+    table) is inlined as literal arrays, so the vector table is never
+    shuffled or replicated — O(N × n_cells × d) work in one projection.
+    At 10^12 vectors this runs once at ingest and the base table is
+    written partitioned by ``cell`` so probes prune partitions (the
+    same layout story as the segment index buckets).
+
+    Per-pair arithmetic is EXACTLY ``_dot(v, cv) / (vnorm · cnorm)``
+    in the same fold order as the query-side scoring and the DuckDB
+    oracle, so assignment is bit-stable across paths. Collecting the
+    centroid frame to build the literals is the dim-table broadcast in
+    literal form; at very large n_cells × dim (codegen-expression
+    limits) swap in an Arrow-batched matmul UDF — noting numpy's
+    pairwise summation changes the fold order."""
+    cent = sorted(centroids.collect(), key=lambda r: r["cid"])
+    scores = F.array(*[
+        F.nanvl(
+            _dot(F.col("v"),
+                 F.array(*[F.lit(float(x)) for x in r["cv"]]))
+            / (F.col("vnorm") * F.lit(float(r["cnorm"]))),
+            F.lit(-2.0),  # zero-norm guard: below any real cosine
+        )
+        for r in cent
+    ])
+    # cids are contiguous 1..n_cells in sorted order, so the 1-based
+    # position of the first maximum IS the winning cid (ties → lowest)
+    return vectors.withColumn(
+        "cell", F.array_position(scores, F.array_max(scores)).cast("int")
+    ).select("vec_id", "v", "vnorm", "cell")
 
 
 def ivf_topk(emb: DataFrame, query_vecs: DataFrame, k: int = 10,

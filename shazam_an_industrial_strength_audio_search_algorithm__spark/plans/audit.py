@@ -58,7 +58,10 @@ def codegen_stage_count(df: DataFrame, execute: bool = False) -> int:
     materialize the final plan first (cheap at test/doc scale) and
     count the ``*(N)`` stage markers of the finalized tree."""
     if execute:
-        df.count()
+        # collect(), not count(): count() builds a NEW query (Aggregate
+        # on top) with its own queryExecution and never finalizes df's
+        # AQE plan — df's executedPlan would still say isFinalPlan=false
+        df.collect()
         s = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
         n = len(set(re.findall(r"\*\((\d+)\)", s)))
         if n:

@@ -106,9 +106,13 @@ def streaming_dedup_first_wins(
     sha-derived shard (``pmod(xxhash64(sha), n_shards)``), so each
     group's state holds ~1/n_shards of the digest set — at scale you
     raise ``n_shards`` so per-group state stays RAM-sized; digests are
-    64-char strings only, never content. Within a micro-batch,
-    first-seen wins by arrival order per shard (deterministic given a
-    deterministic source ordering); across batches the state map wins.
+    64-char strings only, never content. The dedup DECISION (exactly
+    one survivor per sha) is deterministic; WHICH duplicate survives a
+    single micro-batch is not — rows reach the shard group through a
+    hash shuffle that does not preserve source order, so same-batch
+    duplicates race (the batch twin ``dedup_exact`` instead keeps
+    min(doc_id) deterministically). Across batches the state map wins,
+    so replays of already-seen shas are stable.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 

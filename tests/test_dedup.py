@@ -167,3 +167,15 @@ def test_prefix_filter_property_random_corpora(spark):
         assert prefix == naive
 
     check()
+
+
+def test_simhash_small_hamming_chunk_widths(spark, dup_df):
+    """Regression: max_hamming <= 1 produces 32- and 64-bit chunks —
+    the mask/cast must stay LONG-safe (ANSI CAST_OVERFLOW crashed the
+    int32 cast; the 64-bit single-chunk case has no representable
+    mask literal at all)."""
+    for h in (0, 1):
+        got = {(r["doc_a"], r["doc_b"]) for r in
+               simhash_pairs(dup_df, max_hamming=h).collect()}
+        # the exact-copy pair (hamming 0) must survive at every h
+        assert (0, 100) in got

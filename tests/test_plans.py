@@ -146,3 +146,22 @@ def test_wand_batched_plan(spark, corpus_df, tmp_path):
     # bounded: query tokenize/explode + tiny (grp,term) agg + block
     # spread + repartition-by-group; NOT one exchange per query
     assert a["shuffles"] <= 4, a
+
+
+def test_ivf_assign_is_narrow(spark):
+    """Cell assignment must be a per-row argmax over centroid
+    literals — zero shuffle of the vector table (the docstring's
+    'runs once at ingest, narrow' claim, made assertable)."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        _as_double,
+        _norm,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = ivf_centroids(emb)
+    base = emb.select(
+        F.col("vec_id"), _as_double(F.col("embedding")).alias("v")
+    ).withColumn("vnorm", _norm(F.col("v")))
+    assert count_shuffles(ivf_assign(base, cent)) == 0
