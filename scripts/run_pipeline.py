@@ -14,11 +14,15 @@ Build an index::
         build --corpus /data/corpus_parquet --index /data/index \
         --n-buckets 512 [--resume]
 
-Incremental maintenance::
+Incremental maintenance (copy-on-write, or merge-on-read with
+``--mode delta`` followed eventually by ``compact``)::
 
     spark-submit --py-files /tmp/engine.zip scripts/run_pipeline.py \
         update --index /data/index --add /data/new_docs_parquet \
-        [--delete /data/delete_keys_parquet]
+        [--delete /data/delete_keys_parquet] [--mode delta]
+
+    spark-submit --py-files /tmp/engine.zip scripts/run_pipeline.py \
+        compact --index /data/index
 
 Query (batch of queries from a parquet/csv with query_id, text)::
 
@@ -76,6 +80,16 @@ def main(argv: list[str]) -> int:
     u.add_argument("--add")
     u.add_argument("--delete")
     u.add_argument("--resume", action="store_true")
+    u.add_argument("--mode", choices=["rebuild", "delta"], default="rebuild",
+                   help="rebuild = copy-on-write (re-encode affected "
+                        "buckets, WAND-ready); delta = merge-on-read "
+                        "(O(delta) layer + tombstones; compact later)")
+
+    c = sub.add_parser("compact",
+                       help="multi-way sorted merge of delta layers back "
+                            "to one generation (never re-tokenizes)")
+    c.add_argument("--index", required=True)
+    c.add_argument("--resume", action="store_true")
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
@@ -158,10 +172,23 @@ def main(argv: list[str]) -> int:
             add_corpus=spark.read.parquet(args.add) if args.add else None,
             delete_keys=spark.read.parquet(args.delete) if args.delete else None,
             resume=args.resume,
+            mode=args.mode,
         )
         print(
             f"snapshot={rep.snapshot_version} affected={rep.affected_buckets} "
-            f"n_docs={rep.n_docs}"
+            f"n_docs={rep.n_docs} mode={args.mode}"
+        )
+        return 0
+
+    if args.cmd == "compact":
+        from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.maintenance import (
+            compact,
+        )
+
+        rep = compact(spark, args.index, resume=args.resume)
+        print(
+            f"snapshot={rep.snapshot_version} merged_layers="
+            f"{rep.n_layers_merged} buckets={rep.affected_buckets}"
         )
         return 0
 

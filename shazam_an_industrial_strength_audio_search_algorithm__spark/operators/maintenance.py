@@ -65,6 +65,7 @@ def apply_updates(
     add_corpus: DataFrame | None = None,
     delete_keys: DataFrame | None = None,
     resume: bool = False,
+    mode: str = "rebuild",
 ) -> UpdateReport:
     """MERGE-equivalent maintenance producing snapshot v+1.
 
@@ -72,8 +73,32 @@ def apply_updates(
     (repo, path, commit) keys are overwritten, new keys appended.
     ``delete_keys``: rows with (repo, path, commit); missing keys are
     silently skipped. Resumable per affected bucket, like the build.
+
+    ``mode`` picks the write-amplification trade (the Iceberg
+    copy-on-write vs merge-on-read split):
+
+    - ``"rebuild"`` (copy-on-write): every bucket any touched term
+      hashes into is re-encoded whole. Queries stay single-layer
+      (WAND-ready), but a 10-doc update rewrites multi-GB buckets at
+      10^12-file scale.
+    - ``"delta"`` (merge-on-read): the update writes ONLY its own
+      postings as a new delta layer plus a doc-id tombstone set —
+      write cost O(delta), zero base rewrites. Readers resolve
+      layers at query time (``SegmentIndex._resolve_layers``:
+      tombstone supersession + exact df recompute over query-term
+      postings); ``maintenance.compact()`` later multi-way-merges
+      the layers back to one generation (Lucene segment-merge
+      analog, the reference's ``Combine.py:55-62`` consolidation).
     """
+    if mode not in ("rebuild", "delta"):
+        raise ValueError(f"mode must be 'rebuild' or 'delta', got {mode!r}")
     base = SegmentIndex.open(spark, index_dir)
+    if mode == "rebuild" and base.has_deltas:
+        raise ValueError(
+            "rebuild-mode update on a layered snapshot would read "
+            "unresolved doc_terms — run compact() first, or keep using "
+            "mode='delta'"
+        )
     new_version = base.version + 1
     gen = f"u{new_version}"
     mdir = f"{index_dir}/manifests/{gen}"
@@ -115,17 +140,33 @@ def apply_updates(
                 add_corpus,
                 with_positions=base.snapshot.get("store_positions", False),
             ).withColumn("bucket", bucket_col(F.col("term"), base.n_buckets))
-            delta.write.mode("overwrite").parquet(dtdelta_path)
+            if mode == "delta":
+                # the delta IS this generation's doc_terms: partition
+                # by bucket so the layer's bucket→path map prunes
+                (
+                    delta.write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(f"{index_dir}/data/dt_{gen}")
+                )
+            else:
+                delta.write.mode("overwrite").parquet(dtdelta_path)
 
         # --- affected buckets ------------------------------------------
         affected = set()
         if add_corpus is not None:
+            delta_read_path = (
+                f"{index_dir}/data/dt_{gen}" if mode == "delta"
+                else dtdelta_path
+            )
             affected.update(
                 r["bucket"]
-                for r in spark.read.parquet(dtdelta_path)
+                for r in spark.read.parquet(delta_read_path)
                 .select("bucket").distinct().collect()
             )
-        if removed is not None:
+        if removed is not None and mode == "rebuild":
+            # delta mode never touches base buckets — deletes are
+            # tombstones applied at read; removal-affected buckets
+            # matter only to compaction
             removed_ids = spark.read.parquet(removed_path)
             affected.update(
                 r["bucket"]
@@ -172,9 +213,15 @@ def apply_updates(
                 "affected_buckets": affected,
                 "has_removed": removed is not None,
                 "has_delta": add_corpus is not None,
+                "mode": mode,
             },
         )
     params = json.load(open(params_path))
+    if params.get("mode", "rebuild") != mode:
+        raise ValueError(
+            f"resuming update {gen} with mode={mode!r} but it was "
+            f"started with mode={params.get('mode', 'rebuild')!r}"
+        )
     affected = params["affected_buckets"]
     n_docs, avgdl = params["n_docs"], params["avgdl"]
     base_snap = read_snapshot(index_dir, params["base_version"])
@@ -184,7 +231,7 @@ def apply_updates(
         if resume and os.path.exists(f"{mdir}/bucket_{b}.json")
     ]
     built = [b for b in affected if b not in skipped]
-    if built:
+    if built and mode == "rebuild":
         # updated doc_terms for the batch = old minus removed + delta,
         # written partitionBy(bucket) in one job
         dt = base.doc_terms(built)
@@ -206,10 +253,168 @@ def apply_updates(
             .partitionBy("bucket")
             .parquet(f"{index_dir}/data/dt_{gen}")
         )
+    if built:
+        # delta mode: dt_{gen} already holds exactly this update's
+        # postings — encode them as a new (small) layer, zero base IO
         build_buckets_batch(
             spark, index_dir, gen, built,
             dt_path=f"{index_dir}/data/dt_{gen}",
             avgdl=avgdl, n_docs=n_docs,
+            hot_df=base_snap["hot_df"],
+            max_salt_bits=base_snap["max_salt_bits"],
+            block_size=base_snap["block_size"],
+            store_positions=base_snap.get("store_positions", False),
+        )
+
+    done = all(
+        os.path.exists(f"{mdir}/bucket_{b}.json") for b in affected
+    )
+    version = None
+    if done:
+        version = new_version
+        gen_map = {
+            str(b): {
+                "doc_terms": f"data/dt_{gen}/bucket={b}",
+                "segments": f"data/seg_{gen}/bucket={b}",
+            }
+            for b in affected
+        }
+        if mode == "rebuild":
+            buckets_map = dict(base_snap["buckets"])
+            buckets_map.update(gen_map)
+            layers = base_snap.get("layers") or []
+        else:
+            buckets_map = dict(base_snap["buckets"])
+            layer = {"gen": gen, "buckets": gen_map}
+            if params["has_removed"]:
+                layer["tombstones"] = f"data/removed_{gen}"
+            layers = (base_snap.get("layers") or []) + [layer]
+        _atomic_write_json(
+            f"{index_dir}/snapshots/v{version}.json",
+            {
+                "n_docs": n_docs,
+                "avgdl": avgdl,
+                "n_buckets": base_snap["n_buckets"],
+                "block_size": base_snap["block_size"],
+                "hot_df": base_snap["hot_df"],
+                "max_salt_bits": base_snap["max_salt_bits"],
+                "store_positions": base_snap.get("store_positions", False),
+                "doc_lens": f"data/dl_{gen}",
+                "buckets": buckets_map,
+                "layers": layers,
+                "parent": params["base_version"],
+                "operation": f"update_{mode}",
+            },
+        )
+        _write_current(index_dir, version)
+    return UpdateReport(
+        snapshot_version=version,
+        affected_buckets=affected,
+        built_buckets=built,
+        skipped_buckets=skipped,
+        n_docs=n_docs,
+        avgdl=avgdl,
+    )
+
+
+@dataclass
+class CompactReport:
+    snapshot_version: int | None
+    affected_buckets: list[int]
+    built_buckets: list[int]
+    skipped_buckets: list[int]
+    n_layers_merged: int
+
+
+def compact(
+    spark: SparkSession,
+    index_dir: str,
+    resume: bool = False,
+) -> CompactReport:
+    """Multi-way sorted merge of the delta layers back into one
+    generation — the Lucene segment-merge / reference consolidation
+    step (``Combine.py:55-62``), Spark-first and re-tokenization-free.
+
+    How the merge is expressed: each layer's blocks per (term, salt)
+    are already doc_id-sorted runs; ``merged_doc_terms`` decodes them
+    (vectorized varint), resolves tombstone supersession, and the
+    salted ``repartition(bucket, term, salt) + sortWithinPartitions``
+    in ``build_buckets_batch`` IS the k-way merge — the merged order
+    is declared and Tungsten's sort-based shuffle produces it; the
+    one-pass numpy encoder re-blocks the merged runs. Because the
+    encoder re-derives df, salts and block boundaries from the merged
+    postings, the output is **bit-identical** to a from-scratch
+    rebuild of the same logical corpus (test_compaction pins payload
+    sha equality) — but the corpus is never read, let alone
+    re-tokenized.
+
+    Only buckets any layer touches (delta postings OR tombstoned base
+    docs) are merged; the rest inherit by path. Resumable per bucket
+    via manifests, like the build. Global stats are unchanged (the
+    updates maintained doc_lens/n_docs/avgdl exactly).
+    """
+    base = SegmentIndex.open(spark, index_dir)
+    snap = base.snapshot
+    layers = snap.get("layers") or []
+    if not layers:
+        return CompactReport(
+            snapshot_version=None, affected_buckets=[], built_buckets=[],
+            skipped_buckets=[], n_layers_merged=0,
+        )
+    new_version = base.version + 1
+    gen = f"c{new_version}"
+    mdir = f"{index_dir}/manifests/{gen}"
+    os.makedirs(mdir, exist_ok=True)
+    params_path = f"{mdir}/params.json"
+    dt_path = f"{index_dir}/data/dt_{gen}"
+
+    phase_a_done = resume and os.path.exists(params_path)
+    if not phase_a_done:
+        affected: set[int] = set()
+        for layer in layers:
+            affected.update(int(b) for b in layer.get("buckets", {}))
+        tomb = base.tombstones()
+        if tomb is not None:
+            # buckets whose BASE postings lost docs: probe the base
+            # generation's doc_terms (layer buckets are in already)
+            base_dt = base._scan_map("doc_terms", snap["buckets"], None)
+            if base_dt is not None:
+                affected.update(
+                    r["bucket"]
+                    for r in base_dt.join(
+                        F.broadcast(tomb.select("doc_id").distinct()),
+                        "doc_id", "left_semi",
+                    ).select("bucket").distinct().collect()
+                )
+        affected_l = sorted(affected)
+        # the merge: layered decode + tombstone resolve, written once
+        # as the new generation's doc_terms
+        (
+            base.merged_doc_terms(affected_l)
+            .repartition(max(1, len(affected_l)), "bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(dt_path)
+        )
+        _atomic_write_json(
+            params_path,
+            {"base_version": base.version, "affected_buckets": affected_l},
+        )
+    params = json.load(open(params_path))
+    affected = params["affected_buckets"]
+    base_snap = read_snapshot(index_dir, params["base_version"])
+
+    skipped = [
+        b for b in affected
+        if resume and os.path.exists(f"{mdir}/bucket_{b}.json")
+    ]
+    built = [b for b in affected if b not in skipped]
+    if built:
+        build_buckets_batch(
+            spark, index_dir, gen, built,
+            dt_path=dt_path,
+            avgdl=base_snap["avgdl"], n_docs=base_snap["n_docs"],
             hot_df=base_snap["hot_df"],
             max_salt_bits=base_snap["max_salt_bits"],
             block_size=base_snap["block_size"],
@@ -231,27 +436,27 @@ def apply_updates(
         _atomic_write_json(
             f"{index_dir}/snapshots/v{version}.json",
             {
-                "n_docs": n_docs,
-                "avgdl": avgdl,
+                "n_docs": base_snap["n_docs"],
+                "avgdl": base_snap["avgdl"],
                 "n_buckets": base_snap["n_buckets"],
                 "block_size": base_snap["block_size"],
                 "hot_df": base_snap["hot_df"],
                 "max_salt_bits": base_snap["max_salt_bits"],
                 "store_positions": base_snap.get("store_positions", False),
-                "doc_lens": f"data/dl_{gen}",
+                "doc_lens": base_snap["doc_lens"],
                 "buckets": buckets_map,
+                "layers": [],
                 "parent": params["base_version"],
-                "operation": "update",
+                "operation": "compact",
             },
         )
         _write_current(index_dir, version)
-    return UpdateReport(
+    return CompactReport(
         snapshot_version=version,
-        affected_buckets=affected,
+        affected_buckets=list(affected),
         built_buckets=built,
         skipped_buckets=skipped,
-        n_docs=n_docs,
-        avgdl=avgdl,
+        n_layers_merged=len(layers),
     )
 
 
@@ -289,6 +494,13 @@ def vacuum(index_dir: str, keep_last: int = 2) -> dict:
         for paths in s["buckets"].values():
             for p in paths.values():
                 referenced_dirs.add(p.split("/")[1])  # e.g. dt_u2
+        for layer in s.get("layers") or []:
+            referenced_gens.add(layer["gen"])
+            if layer.get("tombstones"):
+                referenced_dirs.add(layer["tombstones"].split("/")[1])
+            for paths in layer.get("buckets", {}).values():
+                for p in paths.values():
+                    referenced_dirs.add(p.split("/")[1])
     for d in referenced_dirs:
         referenced_gens.add(d.split("_", 1)[1])  # init / uN
     # update generations also reference their delta/removed staging

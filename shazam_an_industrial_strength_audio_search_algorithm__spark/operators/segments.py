@@ -584,11 +584,19 @@ DECODED_SCHEMA_POS = T.StructType(
 )
 
 
-def _decode_partition(it, with_positions: bool = False):
+def _decode_partition(it, with_positions: bool = False,
+                      passthrough: tuple[str, ...] = ()):
+    """Vectorized block → posting-rows decode. ``passthrough`` names
+    per-block scalar columns (e.g. ``bucket``, ``gen_seq``) repeated
+    onto every decoded row — the layered reader and compaction need
+    them to resolve tombstones and regroup."""
     cols = ["term", "df", "doc_id", "tf", "doc_len"]
     for pdf in it:
         outs = []
-        for term, df, payload in zip(pdf["term"], pdf["df"], pdf["payload"]):
+        extras = [pdf[c] for c in passthrough]
+        for term, df, payload, *extra in zip(
+            pdf["term"], pdf["df"], pdf["payload"], *extras
+        ):
             if with_positions:
                 ids, tfs, dls, flat = decode_block(bytes(payload), True)
                 pos = np.split(flat, np.cumsum(tfs)[:-1])
@@ -598,6 +606,8 @@ def _decode_partition(it, with_positions: bool = False):
                  "tf": tfs, "doc_len": dls}
             if with_positions:
                 d["positions"] = pos
+            for name, val in zip(passthrough, extra):
+                d[name] = val
             outs.append(pd.DataFrame(d))
         if outs:
             yield pd.concat(outs, ignore_index=True)
@@ -606,6 +616,8 @@ def _decode_partition(it, with_positions: bool = False):
                  for c in cols}
             if with_positions:
                 d["positions"] = pd.Series(dtype="object")
+            for name in passthrough:
+                d[name] = pd.Series(dtype="int64")
             yield pd.DataFrame(d)
 
 
@@ -644,6 +656,17 @@ class SegmentIndex:
     def n_buckets(self) -> int:
         return self.snapshot["n_buckets"]
 
+    @property
+    def layers(self) -> list[dict]:
+        """Delta layers stacked on the base generation (merge-on-read
+        updates, `maintenance.apply_updates(mode="delta")`), oldest
+        first. Empty for a compacted / freshly built index."""
+        return self.snapshot.get("layers") or []
+
+    @property
+    def has_deltas(self) -> bool:
+        return bool(self.layers)
+
     def _empty(self, kind: str) -> DataFrame:
         if kind == "segments":
             schema = T.StructType(
@@ -668,20 +691,22 @@ class SegmentIndex:
             schema = T.StructType(fields)
         return self.spark.createDataFrame([], schema)
 
-    def _read_buckets(self, kind: str, buckets: list[int] | None) -> DataFrame:
-        """Per-generation ``basePath`` parquet scans over the
-        snapshot's bucket paths, so ``bucket`` is a REAL partition
-        column (``bucket=K`` dirs) — statically path-pruned when a
-        bucket list is given, and eligible for dynamic partition
-        pruning when joined against a broadcast query-term side
-        (``blocks_for_query_terms``). After updates, different buckets
-        live in different generations; grouping by generation root
-        keeps one scan per generation. Buckets that ended up empty
-        (no file written) read as empty frames."""
+    def _scan_map(self, kind: str, bmap: dict,
+                  buckets: list[int] | None) -> DataFrame | None:
+        """One generation map's bucket paths → a single DataFrame (or
+        None if nothing exists). ``basePath`` parquet scans keep
+        ``bucket`` a REAL partition column (``bucket=K`` dirs) —
+        statically path-pruned when a bucket list is given, and
+        eligible for dynamic partition pruning when joined against a
+        broadcast query-term side (``blocks_for_query_terms``). After
+        updates, different buckets live in different generations;
+        grouping by generation root keeps one scan per generation."""
         bs = list(range(self.n_buckets)) if buckets is None else list(buckets)
         by_root: dict[str, list[str]] = {}
         for b in bs:
-            rel = self.snapshot["buckets"][str(b)][kind]
+            rel = bmap.get(str(b), {}).get(kind)
+            if rel is None:
+                continue
             path = f"{self.index_dir}/{rel}"
             if os.path.exists(path):
                 root = os.path.dirname(path)
@@ -691,9 +716,32 @@ class SegmentIndex:
             for root, paths in sorted(by_root.items())
         ]
         if not dfs:
-            return self._empty(kind)
+            return None
         out = dfs[0]
         for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def _read_buckets(self, kind: str, buckets: list[int] | None) -> DataFrame:
+        """Base generation + (if present) delta layers. Layered reads
+        carry a ``gen_seq`` int column (base = 0, layer i = i+1) so
+        downstream tombstone resolution knows which rows a delete
+        supersedes; non-layered reads keep the historical schema
+        (no ``gen_seq``) untouched."""
+        base = self._scan_map(kind, self.snapshot["buckets"], buckets)
+        if not self.has_deltas:
+            return base if base is not None else self._empty(kind)
+        parts = []
+        if base is not None:
+            parts.append(base.withColumn("gen_seq", F.lit(0)))
+        for i, layer in enumerate(self.layers):
+            piece = self._scan_map(kind, layer.get("buckets", {}), buckets)
+            if piece is not None:
+                parts.append(piece.withColumn("gen_seq", F.lit(i + 1)))
+        if not parts:
+            return self._empty(kind).withColumn("gen_seq", F.lit(0))
+        out = parts[0]
+        for d in parts[1:]:
             out = out.unionByName(d)
         return out
 
@@ -702,6 +750,26 @@ class SegmentIndex:
 
     def doc_terms(self, buckets: list[int] | None = None) -> DataFrame:
         return self._read_buckets("doc_terms", buckets)
+
+    def tombstones(self) -> DataFrame | None:
+        """(doc_id, gen_seq) union of the layers' tombstone sets, or
+        None when no layer carries deletes. A tombstone at gen_seq s
+        supersedes postings with gen_seq < s (re-adds in the SAME
+        update survive their own tombstone)."""
+        parts = []
+        for i, layer in enumerate(self.layers):
+            rel = layer.get("tombstones")
+            if rel:
+                parts.append(
+                    self.spark.read.parquet(f"{self.index_dir}/{rel}")
+                    .select("doc_id", F.lit(i + 1).alias("gen_seq"))
+                )
+        if not parts:
+            return None
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d)
+        return out
 
     def doc_lens(self) -> DataFrame:
         return self.spark.read.parquet(
@@ -740,7 +808,8 @@ class SegmentIndex:
         return self.segments(None).join(F.broadcast(qtb), ["bucket", "term"])
 
     def _spread(self, blocks: DataFrame,
-                with_positions: bool = False) -> DataFrame:
+                with_positions: bool = False,
+                passthrough: tuple[str, ...] = ()) -> DataFrame:
         # spread the decode: compressed blocks are few MB (file-packing
         # would scan them in 1-2 partitions) but varint decode is
         # CPU-bound — a cheap round-robin repartition parallelizes it
@@ -749,21 +818,104 @@ class SegmentIndex:
                 "index was built with store_positions=False — "
                 "positions are not in the blocks"
             )
+        passthrough = tuple(
+            c for c in passthrough if c in blocks.columns
+        )
+        fields = list(
+            (DECODED_SCHEMA_POS if with_positions else DECODED_SCHEMA).fields
+        )
+        for c in passthrough:
+            fields.append(T.StructField(
+                c, T.IntegerType() if c in ("bucket", "gen_seq")
+                else T.LongType()
+            ))
         n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         return blocks.repartition(n_part).mapInPandas(
-            lambda it: _decode_partition(it, with_positions),
-            schema=DECODED_SCHEMA_POS if with_positions else DECODED_SCHEMA,
+            lambda it: _decode_partition(it, with_positions, passthrough),
+            schema=T.StructType(fields),
+        )
+
+    def _resolve_layers(self, decoded: DataFrame,
+                        recompute_df: bool = True) -> DataFrame:
+        """Merge-on-read resolution over decoded layered postings:
+        (1) drop rows superseded by a newer tombstone (a delete or an
+        overwrite-by-key tombstones the doc's older generations);
+        (2) recompute ``df`` exactly over the survivors — the stored
+        per-generation df is a partial count once layers exist. The
+        window shuffle touches only the decoded (query-term-bounded)
+        rows, never the whole index. Scale note: between compactions
+        the tombstone set is delta-sized, so the broadcast is small;
+        a long-uncompacted index should compact rather than grow it.
+        Output schema matches the non-layered decode (no gen_seq)."""
+        tomb = self.tombstones()
+        if tomb is not None:
+            tmax = tomb.groupBy("doc_id").agg(
+                F.max("gen_seq").alias("tomb_seq")
+            )
+            decoded = (
+                decoded.join(F.broadcast(tmax), "doc_id", "left")
+                .filter(
+                    F.col("tomb_seq").isNull()
+                    | (F.col("gen_seq") >= F.col("tomb_seq"))
+                )
+                .drop("tomb_seq")
+            )
+        if not recompute_df:
+            # compaction path: the encoder re-derives df from the
+            # merged postings anyway — skipping the window here saves
+            # a full shuffle of every surviving posting by term
+            return decoded.drop("gen_seq")
+        w = Window.partitionBy("term")
+        return (
+            decoded
+            .withColumn("df", F.count(F.lit(1)).over(w))
+            .drop("gen_seq")
         )
 
     def postings_for_terms(self, terms: list[str],
                            with_positions: bool = False) -> DataFrame:
-        return self._spread(self.blocks_for_terms(terms), with_positions)
+        out = self._spread(self.blocks_for_terms(terms), with_positions,
+                           passthrough=("gen_seq",))
+        return self._resolve_layers(out) if self.has_deltas else out
 
     def postings_for_query_terms(self, qt: DataFrame,
                                  with_positions: bool = False) -> DataFrame:
         """Decoded postings for every distinct term in ``qt`` —
-        collect-free (see ``blocks_for_query_terms``)."""
-        return self._spread(self.blocks_for_query_terms(qt), with_positions)
+        collect-free (see ``blocks_for_query_terms``). On a layered
+        index the result is tombstone-resolved with exact df."""
+        out = self._spread(self.blocks_for_query_terms(qt), with_positions,
+                           passthrough=("gen_seq",))
+        return self._resolve_layers(out) if self.has_deltas else out
+
+    def merged_doc_terms(self, buckets: list[int] | None = None) -> DataFrame:
+        """The layered index resolved to its logical doc_terms —
+        decoded from the SEGMENTS (never re-tokenizing the corpus),
+        tombstone-resolved, typed to match the doc_terms parquet
+        schema. This is compaction's input: the multi-way sorted merge
+        is expressed declaratively (union of sorted block streams →
+        sort-based shuffle regroup) and the encoder re-blocks it."""
+        blocks = self.segments(buckets)
+        decoded = self._spread(
+            blocks,
+            with_positions=self.snapshot.get("store_positions", False),
+            passthrough=("bucket", "gen_seq"),
+        )
+        if self.has_deltas:
+            decoded = self._resolve_layers(decoded, recompute_df=False)
+        cols = [
+            F.col("doc_id"),
+            F.col("term"),
+            F.col("tf").cast("int").alias("tf"),
+        ]
+        if self.snapshot.get("store_positions", False):
+            cols.append(
+                F.col("positions").cast("array<int>").alias("positions")
+            )
+        cols += [
+            F.col("doc_len").cast("int").alias("doc_len"),
+            F.col("bucket").cast("int").alias("bucket"),
+        ]
+        return decoded.select(*cols)
 
     def idf(self, df: int) -> float:
         return idf_py(df, self.n_docs)

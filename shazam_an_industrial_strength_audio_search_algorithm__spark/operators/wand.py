@@ -235,6 +235,20 @@ def wand_topk(
         query_terms,
     )
 
+    if index.has_deltas:
+        # Block-max pruning needs consolidated per-term stats: on a
+        # layered (merge-on-read) snapshot the stored df is
+        # per-generation and delta blocks overlap base doc-id ranges,
+        # so both the bounds and the disjoint-blocks invariant break.
+        # Same stance as Lucene: serve heavy traffic from merged
+        # segments (maintenance.compact()); point lookups between
+        # compactions go through segment_topk (exact merge-on-read).
+        raise ValueError(
+            "wand_topk requires a compacted index — this snapshot has "
+            f"{len(index.layers)} delta layer(s); run "
+            "maintenance.compact() first (segment_topk serves layered "
+            "snapshots exactly)"
+        )
     qt = query_terms(queries, id_col, text_col)
     # collect-free: bucket partitions prune dynamically from the
     # broadcast term side; no term list ever reaches the driver

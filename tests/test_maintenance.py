@@ -120,7 +120,7 @@ def test_upsert_then_delete_matches_oracle(
 
     log = snapshot_log(index_dir)
     assert [s["version"] for s in log] == [1, 2, 3]
-    assert log[1]["operation"] == "update" and log[1]["parent"] == 1
+    assert log[1]["operation"] == "update_rebuild" and log[1]["parent"] == 1
 
 
 def test_update_touches_only_affected_buckets(spark, state, index_dir):
