@@ -176,20 +176,15 @@ def apply_updates(
             )
         affected = sorted(affected)
 
-        # --- new doc_lens + global stats --------------------------------
-        dl = base.doc_lens()
-        if removed is not None:
-            dl = dl.join(
-                F.broadcast(spark.read.parquet(removed_path)),
-                "doc_id", "left_anti",
-            )
-        if add_corpus is not None:
-            # narrow off the incoming corpus (size(tokens) per row) —
-            # never recovered by grouping the delta postings
-            from shazam_an_industrial_strength_audio_search_algorithm__spark.functions.tokenize import (
-                tokens_col,
-            )
+        # --- doc_lens + global stats -----------------------------------
+        # narrow off the incoming corpus (size(tokens) per row) —
+        # never recovered by grouping the delta postings
+        from shazam_an_industrial_strength_audio_search_algorithm__spark.functions.tokenize import (
+            tokens_col,
+        )
 
+        new_dl = None
+        if add_corpus is not None:
             new_dl = (
                 add_corpus.select(
                     "doc_id",
@@ -197,22 +192,72 @@ def apply_updates(
                 )
                 .filter(F.col("doc_len") > 0)
             )
-            dl = dl.unionByName(new_dl)
-        dl.write.mode("overwrite").parquet(dl_path)
-        row = (
-            spark.read.parquet(dl_path)
-            .agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl"))
-            .collect()[0]
-        )
+        if mode == "rebuild":
+            dl = base.doc_lens()
+            if removed is not None:
+                dl = dl.join(
+                    F.broadcast(spark.read.parquet(removed_path)),
+                    "doc_id", "left_anti",
+                )
+            if new_dl is not None:
+                dl = dl.unionByName(new_dl)
+            dl.write.mode("overwrite").parquet(dl_path)
+            row = (
+                spark.read.parquet(dl_path)
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("doc_len").alias("s"))
+                .collect()[0]
+            )
+            n_docs_new = int(row["n"] or 0)
+            sum_dl_new = int(row["s"] or 0)
+        else:
+            # delta: write ONLY the added docs' lens; update stats by
+            # exact incremental accounting — the full doc_lens table
+            # is never rewritten (it would be the one remaining
+            # O(index) write in an otherwise O(delta) update)
+            base_sum = base.snapshot.get("sum_dl")
+            base_n = base.n_docs
+            if base_sum is None:  # pre-sum_dl snapshot: one-time scan
+                row = base.doc_lens().agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("doc_len").alias("s"),
+                ).collect()[0]
+                base_n, base_sum = int(row["n"] or 0), int(row["s"] or 0)
+            rem_n = rem_sum = 0
+            if removed is not None:
+                # dl of the docs actually alive among the removed set
+                # (ghost delete keys drop out of the semi-join)
+                row = base.doc_lens().join(
+                    F.broadcast(spark.read.parquet(removed_path)),
+                    "doc_id", "left_semi",
+                ).agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("doc_len").alias("s"),
+                ).collect()[0]
+                rem_n, rem_sum = int(row["n"] or 0), int(row["s"] or 0)
+            add_n = add_sum = 0
+            if new_dl is not None:
+                new_dl.write.mode("overwrite").parquet(dl_path)
+                row = (
+                    spark.read.parquet(dl_path)
+                    .agg(F.count(F.lit(1)).alias("n"),
+                         F.sum("doc_len").alias("s"))
+                    .collect()[0]
+                )
+                add_n, add_sum = int(row["n"] or 0), int(row["s"] or 0)
+            n_docs_new = base_n - rem_n + add_n
+            sum_dl_new = base_sum - rem_sum + add_sum
         _atomic_write_json(
             params_path,
             {
                 "base_version": base.version,
-                "n_docs": int(row["n"] or 0),
-                "avgdl": float(row["avgdl"] or 0.0),
+                "n_docs": n_docs_new,
+                "sum_dl": sum_dl_new,
+                "avgdl": (sum_dl_new / n_docs_new) if n_docs_new else 0.0,
                 "affected_buckets": affected,
                 "has_removed": removed is not None,
                 "has_delta": add_corpus is not None,
+                "has_dl_delta": bool(new_dl is not None),
                 "mode": mode,
             },
         )
@@ -283,23 +328,28 @@ def apply_updates(
             buckets_map = dict(base_snap["buckets"])
             buckets_map.update(gen_map)
             layers = base_snap.get("layers") or []
+            doc_lens_rel = f"data/dl_{gen}"
         else:
             buckets_map = dict(base_snap["buckets"])
             layer = {"gen": gen, "buckets": gen_map}
             if params["has_removed"]:
                 layer["tombstones"] = f"data/removed_{gen}"
+            if params.get("has_dl_delta"):
+                layer["doc_lens_delta"] = f"data/dl_{gen}"
             layers = (base_snap.get("layers") or []) + [layer]
+            doc_lens_rel = base_snap["doc_lens"]  # never rewritten
         _atomic_write_json(
             f"{index_dir}/snapshots/v{version}.json",
             {
                 "n_docs": n_docs,
+                "sum_dl": params.get("sum_dl"),
                 "avgdl": avgdl,
                 "n_buckets": base_snap["n_buckets"],
                 "block_size": base_snap["block_size"],
                 "hot_df": base_snap["hot_df"],
                 "max_salt_bits": base_snap["max_salt_bits"],
                 "store_positions": base_snap.get("store_positions", False),
-                "doc_lens": f"data/dl_{gen}",
+                "doc_lens": doc_lens_rel,
                 "buckets": buckets_map,
                 "layers": layers,
                 "parent": params["base_version"],
@@ -397,9 +447,22 @@ def compact(
             .partitionBy("bucket")
             .parquet(dt_path)
         )
+        # consolidate doc_lens if any layer carried a dl delta
+        has_dl_layers = any(
+            layer.get("doc_lens_delta") or layer.get("tombstones")
+            for layer in layers
+        )
+        if has_dl_layers:
+            base.doc_lens().write.mode("overwrite").parquet(
+                f"{index_dir}/data/dl_{gen}"
+            )
         _atomic_write_json(
             params_path,
-            {"base_version": base.version, "affected_buckets": affected_l},
+            {
+                "base_version": base.version,
+                "affected_buckets": affected_l,
+                "dl_consolidated": has_dl_layers,
+            },
         )
     params = json.load(open(params_path))
     affected = params["affected_buckets"]
@@ -437,13 +500,17 @@ def compact(
             f"{index_dir}/snapshots/v{version}.json",
             {
                 "n_docs": base_snap["n_docs"],
+                "sum_dl": base_snap.get("sum_dl"),
                 "avgdl": base_snap["avgdl"],
                 "n_buckets": base_snap["n_buckets"],
                 "block_size": base_snap["block_size"],
                 "hot_df": base_snap["hot_df"],
                 "max_salt_bits": base_snap["max_salt_bits"],
                 "store_positions": base_snap.get("store_positions", False),
-                "doc_lens": base_snap["doc_lens"],
+                "doc_lens": (
+                    f"data/dl_{gen}" if params.get("dl_consolidated")
+                    else base_snap["doc_lens"]
+                ),
                 "buckets": buckets_map,
                 "layers": [],
                 "parent": params["base_version"],
@@ -496,8 +563,9 @@ def vacuum(index_dir: str, keep_last: int = 2) -> dict:
                 referenced_dirs.add(p.split("/")[1])  # e.g. dt_u2
         for layer in s.get("layers") or []:
             referenced_gens.add(layer["gen"])
-            if layer.get("tombstones"):
-                referenced_dirs.add(layer["tombstones"].split("/")[1])
+            for key in ("tombstones", "doc_lens_delta"):
+                if layer.get(key):
+                    referenced_dirs.add(layer[key].split("/")[1])
             for paths in layer.get("buckets", {}).values():
                 for p in paths.values():
                     referenced_dirs.add(p.split("/")[1])

@@ -490,15 +490,23 @@ def build_segment_index(
         stage.unpersist()
         row = (
             spark.read.parquet(dl_path)
-            .agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("doc_len").alias("sum_dl"))
             .collect()[0]
         )
         timings["phase_a_doc_lens"] = _time.monotonic() - _t0
+        n_ = int(row["n"] or 0)
+        sum_ = int(row["sum_dl"] or 0)
         _atomic_write_json(
             params_path,
             {
-                "n_docs": int(row["n"] or 0),
-                "avgdl": float(row["avgdl"] or 0.0),
+                "n_docs": n_,
+                "sum_dl": sum_,
+                # avgdl = exact-int sum / count, divided once in
+                # doubles — bit-identical whether the sums came from a
+                # full scan (build) or incremental accounting (delta
+                # updates), so every path scores with the same float
+                "avgdl": (sum_ / n_) if n_ else 0.0,
                 "n_buckets": n_buckets,
                 "block_size": block_size,
                 "hot_df": hot_df,
@@ -535,6 +543,7 @@ def build_segment_index(
             f"{index_dir}/snapshots/v{version}.json",
             {
                 "n_docs": params["n_docs"],
+                "sum_dl": params.get("sum_dl"),
                 "avgdl": avgdl,
                 "n_buckets": n_buckets,
                 "block_size": params["block_size"],
@@ -772,9 +781,41 @@ class SegmentIndex:
         return out
 
     def doc_lens(self) -> DataFrame:
-        return self.spark.read.parquet(
+        """(doc_id, doc_len) of the ALIVE corpus. Non-layered: one
+        parquet scan. Layered: base + per-layer delta doc_lens,
+        tombstone-resolved — doc_lens is never rewritten by a delta
+        update (it would be the one remaining O(index) write in an
+        otherwise O(delta) update)."""
+        base = self.spark.read.parquet(
             f"{self.index_dir}/{self.snapshot['doc_lens']}"
         )
+        if not self.has_deltas:
+            return base
+        parts = [base.withColumn("gen_seq", F.lit(0))]
+        for i, layer in enumerate(self.layers):
+            rel = layer.get("doc_lens_delta")
+            if rel and os.path.exists(f"{self.index_dir}/{rel}"):
+                parts.append(
+                    self.spark.read.parquet(f"{self.index_dir}/{rel}")
+                    .withColumn("gen_seq", F.lit(i + 1))
+                )
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d)
+        tomb = self.tombstones()
+        if tomb is not None:
+            tmax = tomb.groupBy("doc_id").agg(
+                F.max("gen_seq").alias("tomb_seq")
+            )
+            out = (
+                out.join(F.broadcast(tmax), "doc_id", "left")
+                .filter(
+                    F.col("tomb_seq").isNull()
+                    | (F.col("gen_seq") >= F.col("tomb_seq"))
+                )
+                .drop("tomb_seq")
+            )
+        return out.drop("gen_seq")
 
     def blocks_for_terms(self, terms: list[str]) -> DataFrame:
         """Bucket-pruned + term-predicate-pushed block scan — the

@@ -5,12 +5,13 @@ manual batch step).
 
 Design: a file-source stream of corpus rows feeds ``foreachBatch``;
 each micro-batch applies the SAME snapshot-committing upsert as batch
-maintenance (``operators/maintenance.apply_updates``). Exactly-once
-comes from the pairing of (a) Structured Streaming's checkpointed
-source offsets and (b) idempotent snapshot commits — a replayed batch
-re-runs ``apply_updates`` with identical inputs, rewrites the same
-affected buckets, and lands on an identical snapshot (upsert is
-idempotent by key).
+maintenance (``operators/maintenance.apply_updates``), by default as
+a merge-on-read delta layer (O(batch) write cost, optional periodic
+``compact()``). Exactly-once comes from the pairing of (a) Structured
+Streaming's checkpointed source offsets and (b) by-key idempotent
+snapshot commits — a replayed batch re-applies the same keys and the
+tombstone-supersession (delta) / overwrite (rebuild) semantics land
+on the same logical index state.
 
 Also included: a watermarked event-time aggregation
 (``streaming_term_counts``) showing the engine's term statistics
@@ -46,10 +47,28 @@ def stream_ingest(
     checkpoint_dir: str,
     trigger_available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    mode: str = "delta",
+    compact_every: int | None = None,
 ):
     """Ingest corpus parquet files appearing under ``source_dir`` into
     the segment index at ``index_dir`` (which must already hold a
     committed snapshot — build the initial index first).
+
+    ``mode="delta"`` (default) is the streaming-native shape: each
+    micro-batch lands as an O(batch) merge-on-read layer + tombstones
+    — per-batch cost tracks BATCH size, not index size, which is what
+    keeps a continuous stream viable against a 100 TB index.
+    ``compact_every=N`` folds the accumulated layers back into one
+    generation after every N batches (the Lucene tiered-merge cadence,
+    coarse-grained); leave None and run ``maintenance.compact()`` on
+    your own schedule. ``mode="rebuild"`` re-encodes affected buckets
+    per batch (copy-on-write; keeps the index WAND-ready at all times
+    at much higher write amplification).
+
+    Exactly-once still holds in delta mode: a replayed micro-batch
+    re-applies the same keys, whose tombstone supersession makes the
+    re-add idempotent by key — the snapshot version may advance but
+    the logical index state cannot diverge.
 
     Returns the StreamingQuery. With ``trigger_available_now`` the
     query drains everything currently available and stops (the batch
@@ -57,6 +76,7 @@ def stream_ingest(
     """
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.maintenance import (
         apply_updates,
+        compact,
     )
 
     reader = spark.readStream.schema(CORPUS_SCHEMA)
@@ -67,7 +87,9 @@ def stream_ingest(
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        apply_updates(spark, index_dir, add_corpus=batch_df)
+        apply_updates(spark, index_dir, add_corpus=batch_df, mode=mode)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact(spark, index_dir)
 
     writer = (
         stream.writeStream.foreachBatch(upsert_batch)

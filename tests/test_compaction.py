@@ -155,6 +155,10 @@ def test_delta_update_writes_no_base_buckets(spark, layered):
     assert gens == {"seg_init"}
     # u3 carries tombstones (deletes + the overwrite-style re-add)
     assert snap["layers"][1]["tombstones"] == "data/removed_u3"
+    # doc_lens is never rewritten by a delta update: the snapshot
+    # still points at the initial build's table, layers carry deltas
+    assert snap["doc_lens"] == "data/dl_init"
+    assert snap["layers"][0]["doc_lens_delta"] == "data/dl_u2"
 
 
 def test_layered_reads_equal_rebuild(spark, layered, rebuilt):

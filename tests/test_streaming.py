@@ -14,6 +14,7 @@ from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.index
 from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
     SegmentIndex,
     build_segment_index,
+    read_snapshot,
     segment_topk,
 )
 from shazam_an_industrial_strength_audio_search_algorithm__spark.streaming.ingest import (
@@ -45,6 +46,9 @@ def test_stream_ingest_upserts_index(spark, corpus_pdf, tmp_path):
     idx = SegmentIndex.open(spark, idx_dir)
     assert idx.n_docs == 50  # 30 + 20 new, overwrite doesn't grow N
     assert idx.version >= 2
+    # default mode is delta: micro-batches land as merge-on-read
+    # layers, never rewriting base buckets
+    assert len(read_snapshot(idx_dir).get("layers", [])) >= 1
 
     # streamed-in docs are searchable
     probe = spark.createDataFrame(
@@ -211,3 +215,35 @@ def test_stream_match_resumes_at_unprocessed_files(
     got_rows = res.select("query_id", "rank", "doc_id").collect()
     got = {(r["query_id"], r["rank"], r["doc_id"]) for r in got_rows}
     assert got == want and len(got_rows) == len(want)
+
+
+def test_stream_ingest_with_periodic_compaction(spark, corpus_pdf, tmp_path):
+    """compact_every folds the delta layers back after every N
+    micro-batches: the drained index is single-generation (WAND-ready)
+    and still rank-correct."""
+    base = spark.createDataFrame(corpus_pdf.iloc[:30])
+    idx_dir = str(tmp_path / "cidx")
+    build_segment_index(spark, with_doc_id(base), idx_dir, n_buckets=4,
+                        hot_df=8, block_size=16)
+    src = str(tmp_path / "cincoming")
+    ckpt = str(tmp_path / "cckpt")
+    spark.createDataFrame(corpus_pdf.iloc[30:40]).write.mode("append").parquet(src)
+    spark.createDataFrame(corpus_pdf.iloc[40:50]).write.mode("append").parquet(src)
+
+    q = stream_ingest(spark, src, idx_dir, ckpt, trigger_available_now=True,
+                      max_files_per_trigger=2, compact_every=1)
+    q.awaitTermination(300)
+
+    snap = read_snapshot(idx_dir)
+    assert snap["layers"] == [] and snap["operation"] == "compact"
+    idx = SegmentIndex.open(spark, idx_dir)
+    assert idx.n_docs == 50
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.wand import (
+        wand_topk,
+    )
+
+    probe = spark.createDataFrame(
+        [("qs", "uniq00045doc")], "query_id string, text string"
+    )
+    hits = wand_topk(idx, probe, k=1).collect()
+    assert len(hits) == 1
