@@ -444,8 +444,23 @@ def main_scaling() -> None:
         "(per-repeat ceilings above make each repeat "
         "self-calibrating).",
     ]
+    # preserve manually-recorded evidence sections (prior protocol
+    # sessions, scale-stress, update-cost) — everything from the first
+    # '## <known extra section>' header in the existing file onward
+    extra_markers = (
+        "## Second protocol session", "## Scale-stress",
+        "## Incremental update cost", "## Cross-run",
+    )
+    tail: list[str] = []
+    if os.path.exists("BENCH/BASELINE.md"):
+        old = open("BENCH/BASELINE.md").read().split("\n")
+        for i, ln in enumerate(old):
+            if any(ln.startswith(m) for m in extra_markers):
+                tail = ["", "<!-- sections below predate the scaling run "
+                        "above; preserved verbatim -->", ""] + old[i:]
+                break
     with open("BENCH/BASELINE.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines + tail).rstrip("\n") + "\n")
     print(json.dumps({
         "levels": [n_lo, n_hi],
         "index_docs_per_sec": {lo: round(thr_lo, 1), hi: round(thr_hi, 1)},
