@@ -547,8 +547,9 @@ def q_positional_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_positional_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics through the PERSISTED path: positions decoded
-    from the varint block section (store_positions=True) — one oracle,
-    two physical plans, like bm25_topk/bm25_segment."""
+    from the varint block section (store_positions=True) and exploded
+    INSIDE the decode kernel (no array cells through Arrow) — one
+    oracle, two physical plans, like bm25_topk/bm25_segment."""
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.positional import (
         positional_verify,
         query_term_positions,
@@ -557,7 +558,7 @@ def q_positional_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = docs_segment_index(spark, sf_dir)
     qs = queries_df(spark)
     qtp = query_term_positions(qs)
-    postings = idx.postings_for_query_terms(qtp, with_positions=True)
+    postings = idx.positions_for_query_terms(qtp)
     return positional_verify(postings, qs)
 
 

@@ -57,11 +57,16 @@ def positional_verify(postings: DataFrame, queries: DataFrame,
     the reference's ``max(histogram)`` score (``_Shazam_.py:343-347``).
     """
     qtp = query_term_positions(queries, id_col, text_col)
+    if "pos" in postings.columns:
+        # already occurrence-exploded (the segment reader's
+        # positions_for_query_terms fast path) — no Spark-side explode
+        occurrences = postings.select("doc_id", "term", "pos")
+    else:
+        occurrences = postings.select(
+            "doc_id", "term", F.explode("positions").alias("pos")
+        )
     deltas = (
-        postings.select("doc_id", "term", "positions")
-        .join(F.broadcast(qtp), "term")
-        .select("query_id", "doc_id", "qpos",
-                F.explode("positions").alias("pos"))
+        occurrences.join(F.broadcast(qtp), "term")
         .select(
             "query_id",
             "doc_id",

@@ -594,11 +594,20 @@ DECODED_SCHEMA_POS = T.StructType(
 
 
 def _decode_partition(it, with_positions: bool = False,
-                      passthrough: tuple[str, ...] = ()):
+                      passthrough: tuple[str, ...] = (),
+                      explode_positions: bool = False):
     """Vectorized block → posting-rows decode. ``passthrough`` names
     per-block scalar columns (e.g. ``bucket``, ``gen_seq``) repeated
     onto every decoded row — the layered reader and compaction need
-    them to resolve tombstones and regroup."""
+    them to resolve tombstones and regroup.
+
+    ``explode_positions`` emits one row per OCCURRENCE with a flat
+    ``pos`` long column (pure np.repeat — no per-row object arrays):
+    positional queries explode anyway, and shipping array cells
+    through Arrow costs ~5× the whole downstream aggregation
+    (measured: positional_segment 10.1 s → see bench). ``df`` is
+    dropped in this mode (a per-occurrence df column invites wrong
+    aggregation; positional verification never needs it)."""
     cols = ["term", "df", "doc_id", "tf", "doc_len"]
     for pdf in it:
         outs = []
@@ -606,24 +615,35 @@ def _decode_partition(it, with_positions: bool = False,
         for term, df, payload, *extra in zip(
             pdf["term"], pdf["df"], pdf["payload"], *extras
         ):
-            if with_positions:
+            if explode_positions:
+                ids, tfs, dls, flat = decode_block(bytes(payload), True)
+                d = {
+                    "term": term,
+                    "doc_id": np.repeat(ids, tfs),
+                    "tf": np.repeat(tfs, tfs),
+                    "doc_len": np.repeat(dls, tfs),
+                    "pos": flat,
+                }
+            elif with_positions:
                 ids, tfs, dls, flat = decode_block(bytes(payload), True)
                 pos = np.split(flat, np.cumsum(tfs)[:-1])
+                d = {"term": term, "df": int(df), "doc_id": ids,
+                     "tf": tfs, "doc_len": dls, "positions": pos}
             else:
                 ids, tfs, dls = decode_block(bytes(payload))
-            d = {"term": term, "df": int(df), "doc_id": ids,
-                 "tf": tfs, "doc_len": dls}
-            if with_positions:
-                d["positions"] = pos
+                d = {"term": term, "df": int(df), "doc_id": ids,
+                     "tf": tfs, "doc_len": dls}
             for name, val in zip(passthrough, extra):
                 d[name] = val
             outs.append(pd.DataFrame(d))
         if outs:
             yield pd.concat(outs, ignore_index=True)
         else:
+            base = ["term", "doc_id", "tf", "doc_len", "pos"] \
+                if explode_positions else cols
             d = {c: pd.Series(dtype="int64" if c != "term" else "object")
-                 for c in cols}
-            if with_positions:
+                 for c in base}
+            if with_positions and not explode_positions:
                 d["positions"] = pd.Series(dtype="object")
             for name in passthrough:
                 d[name] = pd.Series(dtype="int64")
@@ -850,7 +870,8 @@ class SegmentIndex:
 
     def _spread(self, blocks: DataFrame,
                 with_positions: bool = False,
-                passthrough: tuple[str, ...] = ()) -> DataFrame:
+                passthrough: tuple[str, ...] = (),
+                explode_positions: bool = False) -> DataFrame:
         # spread the decode: compressed blocks are few MB (file-packing
         # would scan them in 1-2 partitions) but varint decode is
         # CPU-bound — a cheap round-robin repartition parallelizes it
@@ -862,9 +883,19 @@ class SegmentIndex:
         passthrough = tuple(
             c for c in passthrough if c in blocks.columns
         )
-        fields = list(
-            (DECODED_SCHEMA_POS if with_positions else DECODED_SCHEMA).fields
-        )
+        if explode_positions:
+            fields = [
+                T.StructField("term", T.StringType()),
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("tf", T.LongType()),
+                T.StructField("doc_len", T.LongType()),
+                T.StructField("pos", T.LongType()),
+            ]
+        else:
+            fields = list(
+                (DECODED_SCHEMA_POS if with_positions
+                 else DECODED_SCHEMA).fields
+            )
         for c in passthrough:
             fields.append(T.StructField(
                 c, T.IntegerType() if c in ("bucket", "gen_seq")
@@ -872,7 +903,8 @@ class SegmentIndex:
             ))
         n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         return blocks.repartition(n_part).mapInPandas(
-            lambda it: _decode_partition(it, with_positions, passthrough),
+            lambda it: _decode_partition(it, with_positions, passthrough,
+                                         explode_positions),
             schema=T.StructType(fields),
         )
 
@@ -901,10 +933,11 @@ class SegmentIndex:
                 )
                 .drop("tomb_seq")
             )
-        if not recompute_df:
-            # compaction path: the encoder re-derives df from the
-            # merged postings anyway — skipping the window here saves
-            # a full shuffle of every surviving posting by term
+        if not recompute_df or "df" not in decoded.columns:
+            # compaction re-derives df from the merged postings, and
+            # the exploded-positions reader drops df entirely —
+            # skipping the window here saves a full shuffle of every
+            # surviving posting by term
             return decoded.drop("gen_seq")
         w = Window.partitionBy("term")
         return (
@@ -926,6 +959,21 @@ class SegmentIndex:
         index the result is tombstone-resolved with exact df."""
         out = self._spread(self.blocks_for_query_terms(qt), with_positions,
                            passthrough=("gen_seq",))
+        return self._resolve_layers(out) if self.has_deltas else out
+
+    def positions_for_query_terms(self, qt: DataFrame) -> DataFrame:
+        """Occurrence-exploded postings (term, doc_id, tf, doc_len,
+        pos) for positional queries — positions flatten to a long
+        column INSIDE the decode kernel (np.repeat), never riding
+        through Arrow as per-row arrays only for Spark to explode
+        them again (that object-array round trip dominated the
+        positional_segment wall clock). No df column by design."""
+        out = self._spread(
+            self.blocks_for_query_terms(qt),
+            with_positions=True,  # store_positions guard
+            passthrough=("gen_seq",),
+            explode_positions=True,
+        )
         return self._resolve_layers(out) if self.has_deltas else out
 
     def merged_doc_terms(self, buckets: list[int] | None = None) -> DataFrame:
