@@ -593,6 +593,73 @@ FROM r WHERE rn = 1
 """
 
 
+def q_search_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL two-phase lifecycle in one plan
+    (SURVEY §4 'cheap filter first, expensive verify second';
+    ``Matching.py:120-131`` candidates → score → verify): BM25 top-k
+    (coarse ranking) then positional offset-histogram verification of
+    ONLY the surviving candidates — postings are semi-joined to the
+    top-k docs before the position explode, so verification cost
+    follows k, not candidate count."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.positional import (
+        positional_verify,
+    )
+
+    topk = q_bm25_topk(spark, sf_dir)
+    idx = docs_index(spark, sf_dir)
+    cand_docs = topk.select("doc_id").distinct()
+    postings = idx.doc_terms.join(F.broadcast(cand_docs), "doc_id",
+                                  "left_semi")
+    pv = positional_verify(postings, queries_df(spark))
+    return topk.join(pv, ["query_id", "doc_id"]).select(
+        "query_id", "rank", "doc_id", "score_micro",
+        "best_delta", "aligned_count",
+    )
+
+
+Q_SEARCH_VERIFIED_SQL = f"""
+WITH {_BM25_MICRO_CTES},
+  ranked AS (
+    SELECT query_id, doc_id, score_micro,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY score_micro DESC, doc_id ASC
+           )::BIGINT AS rank
+    FROM scored
+  ),
+  topk AS (
+    SELECT query_id, doc_id, score_micro, rank
+    FROM ranked WHERE rank <= {TOPK_K}
+  ),
+  pos AS (SELECT doc_id, unnest(toks) AS term,
+                 unnest(range(len(toks))) AS pos
+          FROM raw),
+  qraw AS (SELECT query_id, {DUCKDB_TOKENS_SQL.format(col="qtext")} AS qtoks
+           FROM qv),
+  qpos AS (SELECT query_id, unnest(qtoks) AS term,
+                  unnest(range(len(qtoks))) AS qpos
+           FROM qraw),
+  dd AS (
+    SELECT qpos.query_id, pos.doc_id,
+           CAST(pos.pos - qpos.qpos AS BIGINT) AS delta,
+           count(*)::BIGINT AS votes
+    FROM qpos JOIN pos USING (term)
+    GROUP BY 1, 2, 3
+  ),
+  rr AS (
+    SELECT query_id, doc_id, delta, votes,
+           row_number() OVER (
+             PARTITION BY query_id, doc_id ORDER BY votes DESC, delta ASC
+           ) AS rn
+    FROM dd
+  )
+SELECT t.query_id, t.rank, t.doc_id, t.score_micro,
+       rr.delta AS best_delta, rr.votes AS aligned_count
+FROM topk t
+JOIN rr ON t.query_id = rr.query_id AND t.doc_id = rr.doc_id AND rr.rn = 1
+"""
+
+
 def q_bm25_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query through the PERSISTED path: varint-block
     segment index (buckets, salting, snapshots) → decode → BM25 —
@@ -1533,6 +1600,7 @@ QUERIES: dict[str, callable] = {
     "phrase_match": q_phrase_match,
     "positional_verify": q_positional_verify,
     "positional_segment": q_positional_segment,
+    "search_verified": q_search_verified,
     "unindexed": q_unindexed,
     # relational operators
     "scan_agg": q_scan_agg,
@@ -1583,6 +1651,7 @@ ORACLE_SQL: dict[str, str] = {
     "phrase_match": Q_PHRASE_MATCH_SQL,
     "positional_verify": Q_POSITIONAL_SQL,
     "positional_segment": Q_POSITIONAL_SQL,  # one oracle, two plans
+    "search_verified": Q_SEARCH_VERIFIED_SQL,
     "unindexed": Q_UNINDEXED_SQL,
     "scan_agg": Q_SCAN_AGG_SQL,
     "join_revenue": Q_JOIN_REVENUE_SQL,
