@@ -165,3 +165,42 @@ def test_ivf_assign_is_narrow(spark):
         F.col("vec_id"), _as_double(F.col("embedding")).alias("v")
     ).withColumn("vnorm", _norm(F.col("v")))
     assert count_shuffles(ivf_assign(base, cent)) == 0
+
+
+def test_search_verified_gates_verify_on_topk(spark):
+    """The two-phase plan must semi-join verification postings to the
+    (broadcast) top-k doc set BEFORE the position explode — verify
+    cost follows k, not candidate count."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark import api
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.plans.audit import (
+        plan_string,
+    )
+
+    df = api.q_search_verified(spark, SF)
+    plan = plan_string(df)
+    assert "LeftSemi" in plan, "candidate gating lost"
+    assert has_broadcast_join(df)
+
+
+def test_positional_segment_decode_is_flat(spark):
+    """The persisted positional path must carry positions as a flat
+    long column out of the decode kernel (no Generate/explode over an
+    array column after mapInPandas)."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark import api
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.positional import (
+        query_term_positions,
+    )
+
+    idx = api.docs_segment_index(spark, SF)
+    qtp = query_term_positions(api.queries_df(spark))
+    decoded = idx.positions_for_query_terms(qtp)
+    assert "pos" in decoded.columns and "positions" not in decoded.columns
+    # no explode between decode and aggregation in the full query
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.plans.audit import (
+        plan_string,
+    )
+
+    plan = plan_string(api.q_positional_segment(spark, SF))
+    # the query-side posexplode is fine (tiny); a doc-side explode of
+    # a positions ARRAY column would mean the flat-decode path was lost
+    assert "explode(positions" not in plan
