@@ -209,6 +209,32 @@ def test_rebuild_mode_refuses_layered(spark, layered, corpus80):
         )
 
 
+def test_layered_positional_equals_rebuild(spark, layered, rebuilt):
+    """Positional verification through the occurrence-exploded reader
+    must resolve tombstones on a layered index exactly as a rebuild
+    (exploded rows carry gen_seq through the decode; a superseded
+    doc's occurrences must all vanish)."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.positional import (
+        positional_verify,
+        query_term_positions,
+    )
+
+    d, final = layered
+    qs = _queries(spark, final)
+    qtp = query_term_positions(qs)
+
+    def pv(dirpath):
+        idx = SegmentIndex.open(spark, dirpath)
+        out = positional_verify(idx.positions_for_query_terms(qtp), qs)
+        return sorted(
+            (r["query_id"], r["doc_id"], r["best_delta"],
+             r["aligned_count"])
+            for r in out.collect()
+        )
+
+    assert pv(d) == pv(rebuilt)
+
+
 def test_compact_blocks_bit_identical_to_rebuild(spark, layered, rebuilt):
     d, final = layered
     rep = compact(spark, d)
