@@ -1326,6 +1326,49 @@ Q_NGRAM_JACCARD_SQL = _NGRAM_JACCARD_SQL_T.replace("__T_MICRO__", "800000")
 Q_MINHASH_LSH_SQL = _NGRAM_JACCARD_SQL_T.replace("__T_MICRO__", "800000")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: connected components over the
+    exact-Jaccard ≥ 0.8 pair graph, cluster_id = min doc_id, plus the
+    canonical-survivor flag — the keep-one-per-cluster step of a
+    training-data dedup pipeline. Spark side is iterative min-label
+    propagation (O(diameter) rounds of join+groupBy); the oracle is a
+    DuckDB recursive CTE over the same pair query — two completely
+    different fixpoint engines, one answer."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.dedup import (
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return near_dup_clusters(pairs).select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("long")
+        .alias("is_canonical"),
+    )
+
+
+Q_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+  p AS ({Q_NGRAM_JACCARD_SQL}),
+  edges AS (
+    SELECT doc_a AS s, doc_b AS t FROM p
+    UNION
+    SELECT doc_b, doc_a FROM p
+  ),
+  reach(s, t) AS (
+    SELECT s, t FROM edges
+    UNION
+    SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+  )
+SELECT s AS doc_id,
+       least(s, min(t)) AS cluster_id,
+       CASE WHEN least(s, min(t)) = s THEN 1 ELSE 0 END AS is_canonical
+FROM reach GROUP BY s
+"""
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with candidate-gated exact
     verification. The driver-facing columns are the EXACT values
@@ -1623,6 +1666,7 @@ QUERIES: dict[str, callable] = {
     "fingerprint": q_fingerprint,
     # dedup
     "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
@@ -1667,6 +1711,7 @@ ORACLE_SQL: dict[str, str] = {
     "median": Q_MEDIAN_SQL,
     "monthly": Q_MONTHLY_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,
+    "dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
     "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     # one oracle, two physical plans: the LSH path must reproduce the
     # exact-kernel answer (blocking recall + candidate-gated verify)

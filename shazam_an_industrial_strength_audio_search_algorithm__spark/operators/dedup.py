@@ -547,3 +547,76 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
             "cosine_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components over similarity pairs)
+# ---------------------------------------------------------------------------
+def near_dup_clusters(pairs: DataFrame, max_iter: int = 25,
+                      a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """Connected components over near-dup pair edges → (doc_id,
+    cluster_id) with cluster_id = min doc_id in the component — the
+    step a training-data pipeline runs AFTER pair generation: group
+    transitive duplicates, keep one canonical doc per cluster.
+
+    Algorithm: iterative min-label propagation (each round every node
+    takes the min of its own and its neighbors' labels), converging in
+    O(component diameter) rounds — near-dup components are shallow in
+    practice (stars around popular templates), so a handful of rounds
+    suffices; ``max_iter`` bounds pathological chains. Each round is
+    one join + one groupBy (all distributed); the driver sees only a
+    1-row convergence aggregate, never data. Lineage is cut per round
+    with ``localCheckpoint`` so the plan doesn't grow with iterations.
+    At extreme scale the round count drops further with the
+    large-star/small-star rewrite (Kiveris et al.) — same dataflow
+    shape, alternating edge orientations; the simple propagation is
+    kept here for auditability.
+
+    Only docs that appear in ≥1 pair come out (singletons are their
+    own cluster trivially — callers left_anti join to find survivors).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"),
+                         F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "doc_id"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("label").alias("cluster_id")
+    )

@@ -179,3 +179,27 @@ def test_simhash_small_hamming_chunk_widths(spark, dup_df):
                simhash_pairs(dup_df, max_hamming=h).collect()}
         # the exact-copy pair (hamming 0) must survive at every h
         assert (0, 100) in got
+
+
+def test_near_dup_clusters_chain_and_star(spark):
+    """Min-label propagation must close transitive chains (multiple
+    rounds) and stars (one round), and label each component by its
+    min id."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    # chain 1-2-3-4-5 (diameter 4), star 10-(11,12,13), pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (10, 12), (10, 13),
+         (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
