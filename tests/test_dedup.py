@@ -203,3 +203,48 @@ def test_near_dup_clusters_chain_and_star(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 13: 10,
                    20: 20, 21: 20}
+
+
+def test_near_dup_clusters_random_graphs_match_union_find(spark):
+    """Randomized pin: min-label propagation over arbitrary pair
+    graphs must equal a union-find ground truth (components labeled
+    by min member)."""
+    import random
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        n = rng.randint(5, 40)
+        m = rng.randint(1, 60)
+        edges = set()
+        while len(edges) < m:
+            a, b = rng.randint(0, n - 1), rng.randint(0, n - 1)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        # union-find ground truth
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        want = {x: find(x) for x in sorted(touched)}
+
+        pairs = spark.createDataFrame(
+            sorted(edges), "doc_a long, doc_b long"
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in near_dup_clusters(pairs).collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
