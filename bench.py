@@ -445,17 +445,18 @@ def main_scaling() -> None:
         "self-calibrating).",
     ]
     # preserve manually-recorded evidence sections (prior protocol
-    # sessions, scale-stress, update-cost) — everything from the first
-    # '## <known extra section>' header in the existing file onward
-    extra_markers = (
-        "## Second protocol session", "## Scale-stress",
-        "## Incremental update cost", "## Cross-run",
-    )
+    # sessions, scale-stress, update-cost, anything else an operator
+    # added): everything from the first '## ' header this generator
+    # does NOT own — the only generated '## ' section is the
+    # per-repeat table, so no per-section whitelist to maintain
+    generated_headers = ("## Per-repeat runs",)
     tail: list[str] = []
     if os.path.exists("BENCH/BASELINE.md"):
         old = open("BENCH/BASELINE.md").read().split("\n")
         for i, ln in enumerate(old):
-            if any(ln.startswith(m) for m in extra_markers):
+            if ln.startswith("## ") and not any(
+                ln.startswith(g) for g in generated_headers
+            ):
                 tail = ["", "<!-- sections below predate the scaling run "
                         "above; preserved verbatim -->", ""] + old[i:]
                 break

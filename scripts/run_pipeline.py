@@ -203,7 +203,15 @@ def main(argv: list[str]) -> int:
 
     idx = SegmentIndex.open(spark, args.index)
     queries = spark.read.parquet(args.queries)
-    if args.wand:
+    if args.wand and idx.has_deltas:
+        print(
+            f"note: snapshot v{idx.version} has {len(idx.layers)} delta "
+            "layer(s); WAND needs a compacted index — serving this batch "
+            "via the exact brute path (same results). Run "
+            "`run_pipeline.py compact` to restore pruned execution.",
+            file=sys.stderr,
+        )
+    if args.wand and not idx.has_deltas:
         from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.wand import (
             wand_topk,
         )

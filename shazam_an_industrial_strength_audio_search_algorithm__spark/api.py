@@ -605,7 +605,10 @@ def q_search_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         positional_verify,
     )
 
-    topk = q_bm25_topk(spark, sf_dir)
+    # persist: topk feeds BOTH the candidate gate and the final join —
+    # without it Spark executes the whole coarse-ranking subtree twice
+    # (no common-subplan dedup without an InMemoryRelation)
+    topk = q_bm25_topk(spark, sf_dir).persist()
     idx = docs_index(spark, sf_dir)
     cand_docs = topk.select("doc_id").distinct()
     postings = idx.doc_terms.join(F.broadcast(cand_docs), "doc_id",

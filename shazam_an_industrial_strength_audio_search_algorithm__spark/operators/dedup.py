@@ -552,7 +552,7 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
 # ---------------------------------------------------------------------------
 # near-dup clustering (connected components over similarity pairs)
 # ---------------------------------------------------------------------------
-def near_dup_clusters(pairs: DataFrame, max_iter: int = 25,
+def near_dup_clusters(pairs: DataFrame, max_iter: int = 50,
                       a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
     """Connected components over near-dup pair edges → (doc_id,
     cluster_id) with cluster_id = min doc_id in the component — the
@@ -563,7 +563,8 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 25,
     takes the min of its own and its neighbors' labels), converging in
     O(component diameter) rounds — near-dup components are shallow in
     practice (stars around popular templates), so a handful of rounds
-    suffices; ``max_iter`` bounds pathological chains. Each round is
+    suffices; exceeding ``max_iter`` RAISES rather than returning
+    silently split components. Each round is
     one join + one groupBy (all distributed); the driver sees only a
     1-row convergence aggregate, never data. Lineage is cut per round
     with ``localCheckpoint`` so the plan doesn't grow with iterations.
@@ -589,6 +590,7 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 25,
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -616,7 +618,16 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 25,
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # returning intermediate labels would silently split
+        # components (duplicates survive dedup) — fail loudly instead
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iter} rounds "
+            "(a component's diameter exceeds max_iter — raise max_iter, "
+            "or this pair graph has pathological chain structure)"
+        )
     return labels.select(
         "doc_id", F.col("label").alias("cluster_id")
     )

@@ -721,7 +721,8 @@ class SegmentIndex:
         return self.spark.createDataFrame([], schema)
 
     def _scan_map(self, kind: str, bmap: dict,
-                  buckets: list[int] | None) -> DataFrame | None:
+                  buckets: list[int] | None,
+                  strict: bool = False) -> DataFrame | None:
         """One generation map's bucket paths → a single DataFrame (or
         None if nothing exists). ``basePath`` parquet scans keep
         ``bucket`` a REAL partition column (``bucket=K`` dirs) —
@@ -729,10 +730,20 @@ class SegmentIndex:
         eligible for dynamic partition pruning when joined against a
         broadcast query-term side (``blocks_for_query_terms``). After
         updates, different buckets live in different generations;
-        grouping by generation root keeps one scan per generation."""
+        grouping by generation root keeps one scan per generation.
+
+        ``strict=True`` (the BASE map) raises on a bucket missing from
+        the map — a base snapshot must name every bucket, and silently
+        skipping one would truncate query results; layer maps are
+        sparse by design."""
         bs = list(range(self.n_buckets)) if buckets is None else list(buckets)
         by_root: dict[str, list[str]] = {}
         for b in bs:
+            if strict and str(b) not in bmap:
+                raise KeyError(
+                    f"snapshot v{self.version} bucket map is missing "
+                    f"bucket {b} — corrupt or truncated snapshot"
+                )
             rel = bmap.get(str(b), {}).get(kind)
             if rel is None:
                 continue
@@ -757,7 +768,8 @@ class SegmentIndex:
         downstream tombstone resolution knows which rows a delete
         supersedes; non-layered reads keep the historical schema
         (no ``gen_seq``) untouched."""
-        base = self._scan_map(kind, self.snapshot["buckets"], buckets)
+        base = self._scan_map(kind, self.snapshot["buckets"], buckets,
+                              strict=True)
         if not self.has_deltas:
             return base if base is not None else self._empty(kind)
         parts = []

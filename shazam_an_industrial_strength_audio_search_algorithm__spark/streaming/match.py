@@ -54,12 +54,11 @@ def stream_match(
     """
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
         SegmentIndex,
+        segment_topk,
     )
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.wand import (
         wand_topk,
     )
-
-    idx = SegmentIndex.open(spark, index_dir)
 
     reader = spark.readStream.schema(QUERY_SCHEMA)
     if max_files_per_trigger:
@@ -69,7 +68,21 @@ def stream_match(
     def match_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        res = wand_topk(idx, batch_df, k=k)
+        # reopen per batch: a concurrent stream_ingest may have
+        # committed new snapshots (possibly delta layers) mid-stream
+        idx = SegmentIndex.open(spark, index_dir)
+        if idx.has_deltas:
+            # WAND needs a compacted index; merge-on-read batches are
+            # served exactly by the brute path (same docs/ranks/
+            # scores), with the decode counters nulled to keep one
+            # output schema across batches
+            res = segment_topk(idx, batch_df, k=k).select(
+                "query_id", "rank", "doc_id", "score", "matched_terms",
+                F.lit(None).cast("int").alias("blocks_decoded"),
+                F.lit(None).cast("int").alias("blocks_total"),
+            )
+        else:
+            res = wand_topk(idx, batch_df, k=k)
         # idempotent per-batch commit: a replay of batch N rewrites
         # out_dir/batch_id=N with identical content
         res.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")

@@ -235,9 +235,21 @@ def test_layered_positional_equals_rebuild(spark, layered, rebuilt):
     assert pv(d) == pv(rebuilt)
 
 
-def test_compact_blocks_bit_identical_to_rebuild(spark, layered, rebuilt):
+@pytest.fixture(scope="module")
+def compacted(spark, layered, tmp_path_factory):
+    """A compacted COPY of the layered index — the layered fixture
+    itself stays layered so every test is order-independent."""
+    import shutil
+
     d, final = layered
-    rep = compact(spark, d)
+    c = str(tmp_path_factory.mktemp("compactedidx")) + "/idx"
+    shutil.copytree(d, c)
+    rep = compact(spark, c)
+    return c, final, rep
+
+
+def test_compact_blocks_bit_identical_to_rebuild(spark, compacted, rebuilt):
+    d, final, rep = compacted
     assert rep.snapshot_version == 4
     assert rep.n_layers_merged == 2
     snap = read_snapshot(d)
@@ -274,9 +286,8 @@ def test_compact_is_noop_without_layers(spark, rebuilt):
     assert rep.snapshot_version is None and rep.n_layers_merged == 0
 
 
-def test_vacuum_reclaims_delta_generations(spark, layered):
-    d, final = layered
-    # runs after test_compact committed v4 (module-ordered)
+def test_vacuum_reclaims_delta_generations(spark, compacted):
+    d, final, _ = compacted
     before = set(os.listdir(f"{d}/data"))
     assert any(x.startswith("seg_u") for x in before)
     rep = vacuum(d, keep_last=1)

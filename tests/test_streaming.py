@@ -247,3 +247,43 @@ def test_stream_ingest_with_periodic_compaction(spark, corpus_pdf, tmp_path):
     )
     hits = wand_topk(idx, probe, k=1).collect()
     assert len(hits) == 1
+
+
+def test_stream_match_serves_layered_index_via_brute(
+    spark, corpus_pdf, tmp_path
+):
+    """A delta-layered index must not kill the match stream: batches
+    fall back to the exact brute path (WAND requires compaction),
+    with decode counters nulled to keep one output schema."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.maintenance import (
+        apply_updates,
+    )
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.streaming.match import (
+        read_match_results,
+        stream_match,
+    )
+
+    idx_dir = str(tmp_path / "lidx")
+    build_segment_index(
+        spark, with_doc_id(spark.createDataFrame(corpus_pdf.iloc[:30])),
+        idx_dir, n_buckets=4, hot_df=8, block_size=16,
+    )
+    apply_updates(
+        spark, idx_dir,
+        add_corpus=spark.createDataFrame(corpus_pdf.iloc[30:35]),
+        mode="delta",
+    )
+
+    qdir = str(tmp_path / "lqueries")
+    q = spark.createDataFrame(
+        [("ql", "uniq00032doc")], "query_id string, text string"
+    )  # a doc that exists ONLY in the delta layer
+    q.write.mode("append").parquet(qdir)
+    stream_match(
+        spark, qdir, idx_dir, str(tmp_path / "lout"),
+        str(tmp_path / "lckpt"), k=3,
+    ).awaitTermination(300)
+
+    res = read_match_results(spark, str(tmp_path / "lout")).collect()
+    assert len(res) >= 1
+    assert all(r["blocks_decoded"] is None for r in res)
