@@ -1447,6 +1447,55 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact kernel).
+
+    The LLM-pipeline dedup family's embedding member: all pairs with
+    cosine ≥ threshold, JVM-side math (zip_with dot / norms), micro-unit
+    scores. Brute all-pairs is the exact kernel — at 10^12 vectors it
+    runs blocked (sign-LSH buckets, operators/similarity.py) with this
+    as the verify step; the synthetic embeddings have no true near-dups
+    (max pairwise cosine ≈ 0.51), so the battery threshold sits at 0.40
+    to exercise the boundary with a non-trivial pair set.
+
+    Physical plan: ``embedding_neardup_blocked`` — blocked matmul
+    candidate discovery + exact JVM re-score (identical output to the
+    brute fold plan, pinned in tests/test_dedup.py; the brute plan
+    costs 26 s on sf0.1's 2 k vectors, the blocked one ~2 s).
+    """
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.dedup import (
+        embedding_neardup_blocked,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_neardup_blocked(emb, id_col="vec_id", threshold=0.40)
+
+
+Q_EMB_NEARDUP_SQL = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+  FROM v
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       -- identical formula/order to the Spark plan (see ann_cosine)
+       CAST(round(
+         list_sum(list_transform(range(1, len(a.v) + 1),
+           i -> a.v[i] * b.v[i])) * 1000000.0 / (a.norm * b.norm)
+       ) AS BIGINT) AS cosine_micro
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE CAST(round(
+        list_sum(list_transform(range(1, len(a.v) + 1),
+          i -> a.v[i] * b.v[i])) * 1000000.0 / (a.norm * b.norm)
+      ) AS BIGINT) >= 400000
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity battery (operators/similarity.py)
 # ---------------------------------------------------------------------------
@@ -1673,6 +1722,7 @@ QUERIES: dict[str, callable] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
+    "emb_neardup": q_emb_neardup,
     # similarity search
     "ann_cosine": q_ann_cosine,
     "ann_lsh": q_ann_lsh,
@@ -1720,6 +1770,7 @@ ORACLE_SQL: dict[str, str] = {
     # exact-kernel answer (blocking recall + candidate-gated verify)
     "minhash_lsh": Q_MINHASH_LSH_SQL,
     "simhash": Q_SIMHASH_SQL,
+    "emb_neardup": Q_EMB_NEARDUP_SQL,
     "ann_cosine": Q_ANN_COSINE_SQL,
     "ann_lsh": _ann_lsh_sql(),
     "ann_ivf": _ann_ivf_sql(),

@@ -139,6 +139,31 @@ def test_embedding_neardup(spark):
         assert r["cosine_micro"] >= 990_000
 
 
+def test_embedding_neardup_blocked_equals_brute(spark):
+    """The blocked matmul executor returns exactly the brute fold
+    plan's pairs AND micro scores — including at a low threshold where
+    many pairs sit near the rounding boundary, and across n_blocks
+    choices (grid shape must not change results)."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.dedup import (
+        embedding_neardup_blocked,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = sorted(
+        (r["vec_a"], r["vec_b"], r["cosine_micro"])
+        for r in embedding_neardup_pairs(emb, threshold=0.35).collect()
+    )
+    assert want, "fixture too easy — threshold surfaces no pairs"
+    for n_blocks in (1, 3, 8):
+        got = sorted(
+            (r["vec_a"], r["vec_b"], r["cosine_micro"])
+            for r in embedding_neardup_blocked(
+                emb, threshold=0.35, n_blocks=n_blocks
+            ).collect()
+        )
+        assert got == want, f"n_blocks={n_blocks}"
+
+
 def test_prefix_filter_property_random_corpora(spark):
     """Property: for ANY corpus and near-dup threshold, the prefix+
     length-filtered path returns exactly the naive kernel's pairs.
