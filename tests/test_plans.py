@@ -204,3 +204,22 @@ def test_positional_segment_decode_is_flat(spark):
     # the query-side posexplode is fine (tiny); a doc-side explode of
     # a positions ARRAY column would mean the flat-decode path was lost
     assert "explode(positions" not in plan
+
+
+def test_emb_neardup_blocked_has_no_pair_explosion(spark):
+    """The battery's emb_neardup plan must be the blocked executor:
+    no non-equi pair join (the brute plan's BroadcastNestedLoopJoin /
+    CartesianProduct over O(n²) pairs) — candidates come out of the
+    block-grid groupBy, and the exact re-score attaches vectors via
+    equi-joins only."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark import api
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.plans.audit import (
+        plan_string,
+    )
+
+    df = api.q_emb_neardup(spark, SF)
+    plan = plan_string(df)
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # grid groupBy = one exchange; two re-score equi-joins may add at
+    # most one exchange each (AQE may instead broadcast them)
+    assert count_shuffles(df) <= 5, audit(df)
