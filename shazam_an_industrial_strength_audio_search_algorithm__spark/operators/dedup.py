@@ -510,35 +510,43 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
-def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
-                            vec_col: str = "embedding",
-                            threshold: float = 0.95) -> DataFrame:
-    """Exact cosine ≥ threshold pairs. Brute-force path (all-pairs
-    within norm-compatible candidates); the blocking variant lives in
-    operators/similarity.py (sign-LSH buckets + verify)."""
-    v = emb.select(
+def _cosine_micro_col(va, vb, na, nb):
+    """THE cosine-micro expression — every exact embedding-similarity
+    plan (brute and blocked) must score through this one helper so the
+    fold order, micro scale, and rounding can never drift apart (the
+    blocked executor's output-identity proof depends on it)."""
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return F.round(dot * F.lit(1_000_000.0) / (na * nb)).cast("long")
+
+
+def _prep_vectors(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, v double[], norm) — shared vector prep for both plans."""
+    return emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn(
         "norm",
         F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)),
     )
+
+
+def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95) -> DataFrame:
+    """Exact cosine ≥ threshold pairs. Brute-force path (all-pairs
+    within norm-compatible candidates); the blocking variant lives in
+    operators/similarity.py (sign-LSH buckets + verify)."""
+    v = _prep_vectors(emb, id_col, vec_col)
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .withColumn(
-            "dot",
-            F.aggregate(
-                F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-                F.lit(0.0), lambda acc, x: acc + x,
-            ),
-        )
-        .withColumn(
             "cosine_micro",
-            F.round(
-                F.col("dot") * F.lit(1_000_000.0)
-                / (F.col("a.norm") * F.col("b.norm"))
-            ).cast("long"),
+            _cosine_micro_col(F.col("a.v"), F.col("b.v"),
+                              F.col("a.norm"), F.col("b.norm")),
         )
         .filter(F.col("cosine_micro") >= int(threshold * 1_000_000))
         .select(
@@ -575,23 +583,26 @@ def embedding_neardup_blocked(emb: DataFrame, id_col: str = "vec_id",
     probabilistic blocking (sign-LSH, operators/similarity.py) is the
     cheaper-but-approximate alternative.
     """
-    v = emb.select(
-        F.col(id_col).cast("long").alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).withColumn(
-        "norm",
-        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)),
+    id_type = dict(emb.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"embedding_neardup_blocked requires an integral id column "
+            f"(got {id_col}: {id_type}); add a surrogate id (e.g. "
+            f"xxhash64) or use embedding_neardup_pairs"
+        )
+    v = _prep_vectors(
+        emb.withColumn(id_col, F.col(id_col).cast("long")), id_col, vec_col
     ).withColumn(
         "blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks)).cast("int")
     )
-    cells = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_blocks - 1)),
-            lambda o: F.struct(
-                F.least(F.col("blk"), o).alias("ci"),
-                F.greatest(F.col("blk"), o).alias("cj"),
-            ),
-        )
+    # cells for a vector in block b: (0,b)..(b-1,b), (b,b), (b,b+1)..
+    # — pairwise distinct by construction, one row per cell
+    cells = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda o: F.struct(
+            F.least(F.col("blk"), o).alias("ci"),
+            F.greatest(F.col("blk"), o).alias("cj"),
+        ),
     )
     exploded = (
         v.withColumn("cell", F.explode(cells))
@@ -630,18 +641,9 @@ def embedding_neardup_blocked(emb: DataFrame, id_col: str = "vec_id",
     return (
         cand.join(a, "vec_a").join(b, "vec_b")
         .withColumn(
-            "dot",
-            F.aggregate(
-                F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-                F.lit(0.0), lambda acc, x: acc + x,
-            ),
-        )
-        .withColumn(
             "cosine_micro",
-            F.round(
-                F.col("dot") * F.lit(1_000_000.0)
-                / (F.col("na") * F.col("nb"))
-            ).cast("long"),
+            _cosine_micro_col(F.col("va"), F.col("vb"),
+                              F.col("na"), F.col("nb")),
         )
         .filter(F.col("cosine_micro") >= int(threshold * 1_000_000))
         .select("vec_a", "vec_b", "cosine_micro")
