@@ -73,6 +73,10 @@ def main(argv: list[str]) -> int:
     b.add_argument("--hot-df", type=int, default=2048)
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--resume", action="store_true")
+    b.add_argument("--verify-inputs", action="store_true",
+                   help="with --resume: recompute each skipped "
+                        "bucket's input_digest from the checkpointed "
+                        "doc_terms and rebuild on mismatch")
     b.add_argument("--store-positions", action="store_true")
 
     u = sub.add_parser("update")
@@ -155,6 +159,7 @@ def main(argv: list[str]) -> int:
             n_buckets=args.n_buckets, hot_df=args.hot_df,
             block_size=args.block_size, resume=args.resume,
             store_positions=args.store_positions,
+            verify_inputs=args.verify_inputs,
         )
         print(
             f"built={rep.built_buckets} skipped={rep.skipped_buckets} "

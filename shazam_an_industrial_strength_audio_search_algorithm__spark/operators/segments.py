@@ -374,6 +374,24 @@ def build_buckets_batch(
         .partitionBy("bucket")
         .parquet(f"{index_dir}/data/seg_{gen}")
     )
+    # per-bucket INPUT lineage, from the already-persisted term_df (no
+    # extra postings scan): an order-independent digest of the exact
+    # (term, df) multiset each bucket was built from, plus its term
+    # range. Resume can verify a skipped bucket's inputs against this
+    # (build_segment_index(verify_inputs=True)) without re-encoding.
+    lineage = {
+        r["bucket"]: r
+        for r in term_df.groupBy("bucket")
+        .agg(
+            # bit_xor: order-independent and overflow-free (sum of
+            # xxhash64 longs would overflow; rows are distinct per
+            # (bucket, term) so xor self-cancellation cannot occur)
+            F.bit_xor(F.xxhash64("term", "df")).alias("input_digest"),
+            F.min("term").alias("term_min"),
+            F.max("term").alias("term_max"),
+        )
+        .collect()
+    }
     term_df.unpersist()
     stats = {
         r["bucket"]: r
@@ -389,6 +407,7 @@ def build_buckets_batch(
     }
     for b in buckets:
         s = stats.get(b)
+        lin = lineage.get(b)
         _atomic_write_json(
             f"{index_dir}/manifests/{gen}/bucket_{b}.json",
             {
@@ -398,6 +417,9 @@ def build_buckets_batch(
                 "n_postings": int(s["n_postings"]) if s else 0,
                 "n_terms": int(s["n_terms"]) if s else 0,
                 "n_docs_corpus": n_docs,
+                "input_digest": int(lin["input_digest"]) if lin else 0,
+                "term_min": lin["term_min"] if lin else None,
+                "term_max": lin["term_max"] if lin else None,
                 "status": "committed",
             },
         )
@@ -428,6 +450,7 @@ def build_segment_index(
     buckets: list[int] | None = None,
     phase_a_shuffle: bool = False,
     store_positions: bool = False,
+    verify_inputs: bool = False,
 ) -> BuildReport:
     """Initial build (snapshot v1), two-phase and resumable.
 
@@ -438,6 +461,17 @@ def build_segment_index(
 
     ``buckets`` limits phase B to a subset (tests use it to simulate
     an interrupted build; a real deployment passes None).
+
+    ``verify_inputs=True`` hardens resume: instead of trusting a
+    committed manifest blindly, each skipped bucket's ``input_digest``
+    (order-independent xxhash64 digest of its (term, df) multiset,
+    written at commit time) is recomputed from the checkpointed
+    doc_terms and mismatching buckets are rebuilt. Costs one
+    counts-only aggregation over the skipped buckets' postings — far
+    cheaper than re-encoding, and the reference's resume
+    (``Matching.py:46-57,96``) has no integrity check at all.
+    Manifests written before this field existed fail verification and
+    rebuild (conservative).
     """
     import time as _time
 
@@ -523,6 +557,23 @@ def build_segment_index(
         b for b in todo
         if resume and os.path.exists(f"{index_dir}/manifests/{gen}/bucket_{b}.json")
     ]
+    if skipped and verify_inputs:
+        cur = {
+            r["bucket"]: int(r["d"])
+            for r in spark.read.parquet(dt_path)
+            .filter(F.col("bucket").isin(skipped))
+            .groupBy("bucket", "term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .groupBy("bucket")
+            .agg(F.bit_xor(F.xxhash64("term", "df")).alias("d"))
+            .collect()
+        }
+        stale = []
+        for b in skipped:
+            m = json.load(open(f"{index_dir}/manifests/{gen}/bucket_{b}.json"))
+            if int(m.get("input_digest", 0) or 0) != cur.get(b, 0):
+                stale.append(b)
+        skipped = [b for b in skipped if b not in stale]
     built = [b for b in todo if b not in skipped]
     _t0 = _time.monotonic()
     build_buckets_batch(

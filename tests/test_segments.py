@@ -140,6 +140,53 @@ def test_interrupted_build_resumes_without_recompute(spark, corpus_df, queries_d
     drop_index(d)
 
 
+def test_resume_verify_inputs_rebuilds_tampered_bucket(spark, corpus_df, tmp_path):
+    """Resume lineage check: manifests record an input_digest of each
+    bucket's (term, df) multiset; ``verify_inputs=True`` recomputes it
+    from the checkpointed doc_terms and rebuilds any bucket whose
+    inputs no longer match — plain resume still trusts the manifest."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    corpus = with_doc_id(corpus_df)
+    d = str(tmp_path / "verify_idx")
+    r1 = build_segment_index(spark, corpus, d, n_buckets=4, hot_df=8,
+                             block_size=16)
+    assert r1.snapshot_version == 1
+    m0 = _json.load(open(f"{d}/manifests/init/bucket_0.json"))
+    assert m0["input_digest"] != 0 and m0["term_min"] <= m0["term_max"]
+
+    # tamper bucket 0's checkpointed doc_terms: drop one term's rows
+    dt_dir = f"{d}/data/dt_init"
+    dt0_pdf = spark.read.parquet(f"{dt_dir}/bucket=0").toPandas()
+    victim = dt0_pdf["term"].iloc[0]
+    spark.createDataFrame(
+        dt0_pdf[dt0_pdf["term"] != victim]
+    ).write.mode("overwrite").parquet(f"{dt_dir}/bucket=0")
+
+    # plain resume: trusts manifests, skips everything
+    r2 = build_segment_index(spark, corpus, d, n_buckets=4, hot_df=8,
+                             block_size=16, resume=True)
+    assert r2.skipped_buckets == [0, 1, 2, 3] and r2.built_buckets == []
+
+    # verifying resume: bucket 0 fails its digest and rebuilds; the
+    # others still skip
+    r3 = build_segment_index(spark, corpus, d, n_buckets=4, hot_df=8,
+                             block_size=16, resume=True, verify_inputs=True)
+    assert r3.built_buckets == [0]
+    assert r3.skipped_buckets == [1, 2, 3]
+    # rebuilt manifest reflects the tampered (smaller) input
+    m0b = _json.load(open(f"{d}/manifests/init/bucket_0.json"))
+    assert m0b["input_digest"] != m0["input_digest"]
+    assert m0b["n_terms"] == m0["n_terms"] - 1
+    # a second verifying resume is now clean — everything skips
+    r4 = build_segment_index(spark, corpus, d, n_buckets=4, hot_df=8,
+                             block_size=16, resume=True, verify_inputs=True)
+    assert r4.built_buckets == [] and r4.skipped_buckets == [0, 1, 2, 3]
+    drop_index(d)
+
+
 def test_bucket_pruning_reads_subset(spark, built, index_dir):
     """blocks_for_terms must touch only the buckets its terms hash to."""
     seg = SegmentIndex.open(spark, index_dir)
