@@ -42,11 +42,29 @@ from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.index
 from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
     SegmentIndex,
     _atomic_write_json,
+    _read_current,
     _write_current,
     bucket_col,
     build_buckets_batch,
     read_snapshot,
 )
+
+
+def _next_version(index_dir: str, base_version: int) -> int:
+    """Smallest version above EVERY existing snapshot, not just the
+    base: after restore() the base may be an old snapshot while newer
+    ones are still retained — reusing their version would overwrite
+    data generations those snapshots reference (static overwrites of
+    dt/removed staging + dynamic overwrites of seg partitions), i.e.
+    silently corrupt retained history."""
+    versions = [base_version]
+    sdir = f"{index_dir}/snapshots"
+    if os.path.isdir(sdir):
+        versions += [
+            int(n[1:-5]) for n in os.listdir(sdir)
+            if n.startswith("v") and n.endswith(".json")
+        ]
+    return max(versions) + 1
 
 
 @dataclass
@@ -99,7 +117,7 @@ def apply_updates(
             "unresolved doc_terms — run compact() first, or keep using "
             "mode='delta'"
         )
-    new_version = base.version + 1
+    new_version = _next_version(index_dir, base.version)
     gen = f"u{new_version}"
     mdir = f"{index_dir}/manifests/{gen}"
     os.makedirs(mdir, exist_ok=True)
@@ -135,29 +153,40 @@ def apply_updates(
 
         # --- delta doc_terms for added docs (schema must match the
         # base snapshot's doc_terms: positions present or not) --------
+        has_delta_rows = False
         if add_corpus is not None:
             delta = build_doc_terms(
                 add_corpus,
                 with_positions=base.snapshot.get("store_positions", False),
             ).withColumn("bucket", bucket_col(F.col("term"), base.n_buckets))
+            delta_read_path = (
+                f"{index_dir}/data/dt_{gen}" if mode == "delta"
+                else dtdelta_path
+            )
             if mode == "delta":
                 # the delta IS this generation's doc_terms: partition
                 # by bucket so the layer's bucket→path map prunes
                 (
                     delta.write.mode("overwrite")
                     .partitionBy("bucket")
-                    .parquet(f"{index_dir}/data/dt_{gen}")
+                    .parquet(delta_read_path)
                 )
             else:
                 delta.write.mode("overwrite").parquet(dtdelta_path)
+            # a batch whose docs all tokenize to empty produces ZERO
+            # part files (partitionBy writes none for 0 rows) — reading
+            # that back would fail schema inference. Legitimate input
+            # (e.g. binary/whitespace files): record a no-op/delete-only
+            # update instead of crashing.
+            has_delta_rows = any(
+                f.endswith(".parquet")
+                for _, _, files in os.walk(delta_read_path)
+                for f in files
+            )
 
         # --- affected buckets ------------------------------------------
         affected = set()
-        if add_corpus is not None:
-            delta_read_path = (
-                f"{index_dir}/data/dt_{gen}" if mode == "delta"
-                else dtdelta_path
-            )
+        if has_delta_rows:
             affected.update(
                 r["bucket"]
                 for r in spark.read.parquet(delta_read_path)
@@ -237,14 +266,17 @@ def apply_updates(
                 rem_n, rem_sum = int(row["n"] or 0), int(row["s"] or 0)
             add_n = add_sum = 0
             if new_dl is not None:
-                new_dl.write.mode("overwrite").parquet(dl_path)
-                row = (
-                    spark.read.parquet(dl_path)
-                    .agg(F.count(F.lit(1)).alias("n"),
-                         F.sum("doc_len").alias("s"))
-                    .collect()[0]
-                )
+                # count BEFORE deciding to write: all-empty batches
+                # would write a schema-less (0-part-file) parquet dir
+                row = new_dl.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("doc_len").alias("s"),
+                ).collect()[0]
                 add_n, add_sum = int(row["n"] or 0), int(row["s"] or 0)
+                if add_n > 0:
+                    new_dl.write.mode("overwrite").parquet(dl_path)
+                else:
+                    new_dl = None
             n_docs_new = base_n - rem_n + add_n
             sum_dl_new = base_sum - rem_sum + add_sum
         _atomic_write_json(
@@ -256,7 +288,7 @@ def apply_updates(
                 "avgdl": (sum_dl_new / n_docs_new) if n_docs_new else 0.0,
                 "affected_buckets": affected,
                 "has_removed": removed is not None,
-                "has_delta": add_corpus is not None,
+                "has_delta": bool(has_delta_rows),
                 "has_dl_delta": bool(new_dl is not None),
                 "mode": mode,
             },
@@ -411,7 +443,7 @@ def compact(
             snapshot_version=None, affected_buckets=[], built_buckets=[],
             skipped_buckets=[], n_layers_merged=0,
         )
-    new_version = base.version + 1
+    new_version = _next_version(index_dir, base.version)
     gen = f"c{new_version}"
     mdir = f"{index_dir}/manifests/{gen}"
     os.makedirs(mdir, exist_ok=True)
@@ -555,23 +587,41 @@ def vacuum(index_dir: str, keep_last: int = 2) -> dict:
     keep = sorted(set(versions[-keep_last:]) | {current})
     kept_snaps = [s for s in log if s["version"] in keep]
 
-    referenced_dirs: set[str] = set()
-    referenced_gens: set[str] = set()
-    for s in kept_snaps:
-        referenced_dirs.add(s["doc_lens"].split("/")[1])
-        for paths in s["buckets"].values():
-            for p in paths.values():
-                referenced_dirs.add(p.split("/")[1])  # e.g. dt_u2
-        for layer in s.get("layers") or []:
-            referenced_gens.add(layer["gen"])
-            for key in ("tombstones", "doc_lens_delta"):
-                if layer.get(key):
-                    referenced_dirs.add(layer[key].split("/")[1])
-            for paths in layer.get("buckets", {}).values():
+    def _collect(snaps):
+        dirs: set[str] = set()
+        gens: set[str] = set()
+        for s in snaps:
+            dirs.add(s["doc_lens"].split("/")[1])
+            for paths in s["buckets"].values():
                 for p in paths.values():
-                    referenced_dirs.add(p.split("/")[1])
-    for d in referenced_dirs:
-        referenced_gens.add(d.split("_", 1)[1])  # init / uN
+                    dirs.add(p.split("/")[1])  # e.g. dt_u2
+            for layer in s.get("layers") or []:
+                gens.add(layer["gen"])
+                for key in ("tombstones", "doc_lens_delta"):
+                    if layer.get(key):
+                        dirs.add(layer[key].split("/")[1])
+            for layer in s.get("layers") or []:
+                for paths in layer.get("buckets", {}).values():
+                    for p in paths.values():
+                        dirs.add(p.split("/")[1])
+        for d in dirs:
+            gens.add(d.split("_", 1)[1])  # init / uN
+        return dirs, gens
+
+    referenced_dirs, referenced_gens = _collect(kept_snaps)
+    # an IN-PROGRESS generation (manifests/<gen> exists but no snapshot
+    # anywhere references it yet — e.g. a concurrent update between its
+    # phase A and its snapshot commit) must survive vacuum: deleting
+    # its staging would fail the running job or, worse, let it commit a
+    # snapshot pointing at vanished paths
+    _, committed_gens = _collect(log)
+    if os.path.isdir(f"{index_dir}/manifests"):
+        for name in os.listdir(f"{index_dir}/manifests"):
+            if name not in committed_gens:
+                referenced_gens.add(name)
+                referenced_dirs.update({
+                    f"dt_{name}", f"dl_{name}", f"seg_{name}",
+                })
     # update generations also reference their delta/removed staging
     for gen in referenced_gens:
         referenced_dirs.update({f"dtdelta_{gen}", f"removed_{gen}"})
@@ -596,8 +646,7 @@ def vacuum(index_dir: str, keep_last: int = 2) -> dict:
 
 
 def _read_current_version(index_dir: str) -> int:
-    with open(f"{index_dir}/CURRENT") as f:
-        return int(f.read().strip())
+    return _read_current(index_dir)
 
 
 def snapshot_log(index_dir: str) -> list[dict]:

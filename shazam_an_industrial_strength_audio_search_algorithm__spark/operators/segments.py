@@ -77,7 +77,6 @@ from shazam_an_industrial_strength_audio_search_algorithm__spark.functions.codec
     decode_block,
 )
 from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.index_build import (
-    build_doc_terms,
     with_doc_id,
 )
 
@@ -487,6 +486,18 @@ def build_segment_index(
     dl_path = f"{index_dir}/data/dl_{gen}"
     phase_a_done = resume and os.path.exists(params_path)
     if not phase_a_done:
+        import shutil as _shutil
+
+        # fresh (non-resume) build into a dir holding a previous
+        # attempt: clear this generation's outputs first. The seg
+        # write uses DYNAMIC partition overwrite (only touched buckets
+        # rewrite), so a bucket that is empty in the new corpus would
+        # otherwise keep the OLD corpus's partition and manifest —
+        # committing stale postings into the new snapshot.
+        _shutil.rmtree(f"{index_dir}/data/seg_{gen}", ignore_errors=True)
+        _shutil.rmtree(f"{index_dir}/manifests/{gen}", ignore_errors=True)
+        os.makedirs(f"{index_dir}/manifests/{gen}", exist_ok=True)
+
         from pyspark import StorageLevel
 
         from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.index_build import (
@@ -590,6 +601,26 @@ def build_segment_index(
     version = None
     if done:
         version = 1
+        # idempotent re-run guard: a resume re-run that rebuilt
+        # NOTHING (all buckets skipped, v1 snapshot already committed)
+        # must not re-commit — rewriting CURRENT back to 1 would
+        # silently roll back updates committed after the build. A run
+        # that actually (re)built buckets commits normally.
+        already_current = None
+        if os.path.exists(f"{index_dir}/CURRENT"):
+            already_current = _read_current(index_dir)
+        if not built and already_current is not None \
+                and already_current >= version \
+                and os.path.exists(f"{index_dir}/snapshots/v{version}.json"):
+            return BuildReport(
+                built_buckets=built,
+                skipped_buckets=skipped,
+                phase_a_skipped=phase_a_done,
+                n_docs=params["n_docs"],
+                avgdl=avgdl,
+                snapshot_version=version,
+                timings=timings,
+            )
         _atomic_write_json(
             f"{index_dir}/snapshots/v{version}.json",
             {

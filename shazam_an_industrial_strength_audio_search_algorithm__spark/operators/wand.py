@@ -98,14 +98,6 @@ class _Term:
         self.cache: dict[int, tuple] = {}
         self.requested: set[int] = set()
 
-    def block_at(self, doc_lo: np.int64) -> int:
-        """Index of the block whose range could contain doc_lo; -1 if
-        none (blocks are disjoint and sorted by lo)."""
-        i = int(np.searchsorted(self.los, doc_lo, side="right")) - 1
-        if i >= 0 and self.his[i] >= doc_lo:
-            return i
-        return -1
-
     def slice(self, bi: int, start: np.int64, end: np.int64, avgdl: float):
         """(doc_ids, contribs) of block bi restricted to [start, end]."""
         self.requested.add(bi)
@@ -126,15 +118,27 @@ class _Term:
 def _topk_one_query(terms: list[_Term], k: int, avgdl: float):
     """Interval-at-a-time block-max top-k. Returns (doc_ids, scores,
     matched, decoded, total_blocks), ranked (score DESC, doc_id ASC)."""
-    # atomic intervals: cut doc space at every block lo and hi+1
+    # atomic intervals: cut doc space at every block lo and hi+1. The
+    # hi+1 cut is clamped to avoid int64 overflow when a block ends at
+    # the max doc_id; the widened last interval below restores coverage
+    # of that doc (slice() selects by VALUE, so a too-wide interval end
+    # can never pull in docs a block doesn't contain).
+    int64_max = np.int64(2**63 - 1)
+    clamped = any(bool((t.his == int64_max).any()) for t in terms)
     cuts = np.unique(
         np.concatenate(
             [t.los for t in terms]
-            + [np.minimum(t.his, np.int64(2**63 - 2)) + 1 for t in terms]
+            + [np.minimum(t.his, int64_max - 1) + 1 for t in terms]
         )
     )
     starts = cuts[:-1]
     ends = cuts[1:] - 1  # inclusive
+    if clamped:
+        if ends.size:
+            ends[-1] = int64_max
+        else:  # single block with lo == hi == int64_max
+            starts = np.array([int64_max], dtype=np.int64)
+            ends = np.array([int64_max], dtype=np.int64)
     n_int = starts.size
     if n_int == 0:
         return (np.zeros(0, np.int64), np.zeros(0), np.zeros(0, np.int32),

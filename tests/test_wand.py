@@ -69,3 +69,40 @@ def test_wand_oov_query_yields_nothing(spark, seg):
         [("qx", "zzqabsent wwqmissing")], "query_id string, text string"
     )
     assert wand_topk(seg, q, k=5).count() == 0
+
+
+def test_interval_kernel_covers_max_int64_doc_id():
+    """A doc whose id is exactly 2**63-1 (one xxhash64 in 2**64 inputs)
+    must not fall out of interval coverage: the hi+1 interval cut is
+    clamped against int64 overflow, and the widened last interval has
+    to absorb the clamp so WAND stays exactly equal to brute force."""
+    import numpy as np
+    import pandas as pd
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.functions.codec import (
+        encode_block,
+    )
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.wand import (
+        _Term,
+        _topk_one_query,
+    )
+
+    max_id = np.int64(2**63 - 1)
+    ids = np.array([5, 100, max_id], dtype=np.int64)
+    tfs = np.array([1, 2, 3], dtype=np.int64)
+    dls = np.array([10, 10, 10], dtype=np.int64)
+    g = pd.DataFrame({
+        "doc_id_lo": [int(ids[0])], "doc_id_hi": [int(ids[-1])],
+        "max_tf": [3], "min_dl": [10],
+        "payload": [encode_block(ids, tfs, dls)],
+    })
+    term = _Term(idf=1.0, g=g, avgdl=10.0)
+    docs, scores, matched, decoded, total = _topk_one_query(
+        [term], k=3, avgdl=10.0
+    )
+    assert int(max_id) in set(int(d) for d in docs), (
+        "doc at int64 max silently dropped by interval construction"
+    )
+    assert len(docs) == 3
+    # highest tf (the max-id doc) must rank first
+    assert int(docs[0]) == int(max_id)
