@@ -1483,16 +1483,17 @@ n AS (
   FROM v
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       -- identical formula/order to the Spark plan (see ann_cosine)
-       CAST(round(
+       -- identical formula/order to the Spark plan (see ann_cosine);
+       -- zero-norm pairs score 0 (mirrors the engine's guard)
+       CASE WHEN a.norm * b.norm > 0 THEN CAST(round(
          list_sum(list_transform(range(1, len(a.v) + 1),
            i -> a.v[i] * b.v[i])) * 1000000.0 / (a.norm * b.norm)
-       ) AS BIGINT) AS cosine_micro
+       ) AS BIGINT) ELSE 0 END AS cosine_micro
 FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE CAST(round(
+WHERE CASE WHEN a.norm * b.norm > 0 THEN CAST(round(
         list_sum(list_transform(range(1, len(a.v) + 1),
           i -> a.v[i] * b.v[i])) * 1000000.0 / (a.norm * b.norm)
-      ) AS BIGINT) >= 400000
+      ) AS BIGINT) ELSE 0 END >= 400000
 """
 
 
@@ -1526,7 +1527,12 @@ scored AS (
   -- NOT list_cosine_similarity (its internal accumulation differs
   -- enough to flip a micro-rounding boundary)
   SELECT qs.query_id, e.vec_id,
-         CAST(round(
+         -- zero-norm rows score 0, mirroring the engine's guard
+         CASE WHEN sqrt(list_sum(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(qs.qvec,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+         THEN CAST(round(
            list_sum(list_transform(range(1, len(e.embedding) + 1),
              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qs.qvec[i] AS DOUBLE)))
            * 1000000.0 /
@@ -1534,7 +1540,7 @@ scored AS (
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
             * sqrt(list_sum(list_transform(qs.qvec,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-         ) AS BIGINT) AS cosine_micro
+         ) AS BIGINT) ELSE 0 END AS cosine_micro
   FROM embeddings e CROSS JOIN qs
 ),
 ranked AS (

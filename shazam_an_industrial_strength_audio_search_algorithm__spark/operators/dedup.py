@@ -519,7 +519,13 @@ def _cosine_micro_col(va, vb, na, nb):
         F.zip_with(va, vb, lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    return F.round(dot * F.lit(1_000_000.0) / (na * nb)).cast("long")
+    # zero-norm guard: a zero vector has no direction — score 0 (never
+    # >= a positive threshold) instead of NaN, which ANSI mode (Spark 4
+    # default) turns into a cast error on round().cast('long')
+    return F.when(
+        (na * nb) > 0,
+        F.round(dot * F.lit(1_000_000.0) / (na * nb)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
 
 
 def _prep_vectors(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:

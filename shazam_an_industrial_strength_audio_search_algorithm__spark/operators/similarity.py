@@ -38,6 +38,20 @@ def _dot(u, v):
                        F.lit(0.0), lambda a, x: a + x)
 
 
+def _cosine_micro_expr(v, q, vn, qn):
+    """round(dot * 1e6 / (vn*qn)) as LONG with a zero-norm guard: a
+    zero-norm vector has no direction, so it scores 0 (never ranked
+    first, never >= a positive threshold) instead of producing NaN —
+    which Spark 4's default ANSI mode turns into a job-killing cast
+    error on round().cast('long'). The guarded branch evaluates the
+    SAME expression in the SAME fold order as the DuckDB oracle."""
+    denom = vn * qn
+    return F.when(
+        denom > 0,
+        F.round(_dot(v, q) * F.lit(1_000_000.0) / denom).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+
+
 def cosine_topk(emb: DataFrame, query_vecs: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 qid_col: str = "query_id", qvec_col: str = "qvec") -> DataFrame:
@@ -53,10 +67,8 @@ def cosine_topk(emb: DataFrame, query_vecs: DataFrame, k: int = 10,
         base.join(F.broadcast(qs))
         .withColumn(
             "cosine_micro",
-            F.round(
-                _dot(F.col("v"), F.col("q")) * F.lit(1_000_000.0)
-                / (F.col("vnorm") * F.col("qnorm"))
-            ).cast("long"),
+            _cosine_micro_expr(F.col("v"), F.col("q"),
+                               F.col("vnorm"), F.col("qnorm")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -168,6 +180,11 @@ def ivf_topk(emb: DataFrame, query_vecs: DataFrame, k: int = 10,
     the query's ``n_probe`` nearest cells; exact cosine re-score on
     candidates only. Same output schema as cosine_topk/lsh_topk."""
     cent = ivf_centroids(emb, n_cells, id_col, vec_col)
+    # one centroid scan, not two: collect the (tiny) centroid frame and
+    # rebuild it as a local relation so the assignment literals AND the
+    # probe broadcast reuse the same materialized rows instead of each
+    # re-running the full-table sample plan
+    cent = emb.sparkSession.createDataFrame(cent.collect(), cent.schema)
     base = emb.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("vnorm", _norm(F.col("v")))
@@ -178,7 +195,13 @@ def ivf_topk(emb: DataFrame, query_vecs: DataFrame, k: int = 10,
     ).withColumn("qnorm", _norm(F.col("q")))
     qscored = qs.join(F.broadcast(cent)).withColumn(
         "ccos",
-        _dot(F.col("q"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")),
+        # same zero-norm policy as ivf_assign's nanvl(-2.0): a
+        # degenerate query or centroid must sort LAST, not NaN-first
+        F.when(
+            (F.col("qnorm") * F.col("cnorm")) > 0,
+            _dot(F.col("q"), F.col("cv"))
+            / (F.col("qnorm") * F.col("cnorm")),
+        ).otherwise(F.lit(-2.0)),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("ccos").desc(), F.col("cid").asc()
@@ -191,10 +214,8 @@ def ivf_topk(emb: DataFrame, query_vecs: DataFrame, k: int = 10,
 
     cand = assigned.join(F.broadcast(probes), "cell").withColumn(
         "cosine_micro",
-        F.round(
-            _dot(F.col("v"), F.col("q")) * F.lit(1_000_000.0)
-            / (F.col("vnorm") * F.col("qnorm"))
-        ).cast("long"),
+        _cosine_micro_expr(F.col("v"), F.col("q"),
+                           F.col("vnorm"), F.col("qnorm")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_micro").desc(), F.col("vec_id").asc()
@@ -219,6 +240,11 @@ def ivf_persist(emb: DataFrame, out_dir: str,
     cross-join pass (no shuffle of the vector table beyond the
     partitioned write)."""
     cent = ivf_centroids(emb, n_cells, id_col, vec_col)
+    # one centroid scan, not two: collect the (tiny) centroid frame and
+    # rebuild it as a local relation so the assignment literals AND the
+    # probe broadcast reuse the same materialized rows instead of each
+    # re-running the full-table sample plan
+    cent = emb.sparkSession.createDataFrame(cent.collect(), cent.schema)
     base = emb.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("vnorm", _norm(F.col("v")))
@@ -245,7 +271,13 @@ def ivf_topk_persisted(spark, index_dir: str, query_vecs: DataFrame,
     ).withColumn("qnorm", _norm(F.col("q")))
     qscored = qs.join(F.broadcast(cent)).withColumn(
         "ccos",
-        _dot(F.col("q"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")),
+        # same zero-norm policy as ivf_assign's nanvl(-2.0): a
+        # degenerate query or centroid must sort LAST, not NaN-first
+        F.when(
+            (F.col("qnorm") * F.col("cnorm")) > 0,
+            _dot(F.col("q"), F.col("cv"))
+            / (F.col("qnorm") * F.col("cnorm")),
+        ).otherwise(F.lit(-2.0)),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("ccos").desc(), F.col("cid").asc()
@@ -259,10 +291,8 @@ def ivf_topk_persisted(spark, index_dir: str, query_vecs: DataFrame,
     vectors = spark.read.parquet(f"{index_dir}/vectors")
     cand = vectors.join(F.broadcast(probes), "cell").withColumn(
         "cosine_micro",
-        F.round(
-            _dot(F.col("v"), F.col("q")) * F.lit(1_000_000.0)
-            / (F.col("vnorm") * F.col("qnorm"))
-        ).cast("long"),
+        _cosine_micro_expr(F.col("v"), F.col("q"),
+                           F.col("vnorm"), F.col("qnorm")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_micro").desc(), F.col("vec_id").asc()
@@ -306,8 +336,10 @@ assigned AS (
     SELECT n.vec_id, n.v, n.vnorm, c.cid,
            row_number() OVER (
              PARTITION BY n.vec_id
-             ORDER BY list_sum(list_transform(range(1, {dim + 1}),
-                       i -> n.v[i] * c.cv[i])) / (n.vnorm * c.cnorm) DESC,
+             ORDER BY CASE WHEN n.vnorm * c.cnorm > 0
+                       THEN list_sum(list_transform(range(1, {dim + 1}),
+                            i -> n.v[i] * c.cv[i])) / (n.vnorm * c.cnorm)
+                       ELSE -2.0 END DESC,
                       c.cid ASC
            ) AS rn
     FROM nrm n CROSS JOIN cent c
@@ -322,8 +354,10 @@ probes AS (
     SELECT qs.query_id, qs.q, qs.qnorm, c.cid,
            row_number() OVER (
              PARTITION BY qs.query_id
-             ORDER BY list_sum(list_transform(range(1, {dim + 1}),
-                       i -> qs.q[i] * c.cv[i])) / (qs.qnorm * c.cnorm) DESC,
+             ORDER BY CASE WHEN qs.qnorm * c.cnorm > 0
+                       THEN list_sum(list_transform(range(1, {dim + 1}),
+                            i -> qs.q[i] * c.cv[i])) / (qs.qnorm * c.cnorm)
+                       ELSE -2.0 END DESC,
                       c.cid ASC
            ) AS rn
     FROM qs CROSS JOIN cent c
@@ -331,11 +365,11 @@ probes AS (
 ),
 cand AS (
   SELECT DISTINCT p.query_id, a.vec_id,
-         CAST(round(
+         CASE WHEN a.vnorm * p.qnorm > 0 THEN CAST(round(
            list_sum(list_transform(range(1, {dim + 1}),
                                    i -> a.v[i] * p.q[i]))
            * 1000000.0 / (a.vnorm * p.qnorm)
-         ) AS BIGINT) AS cosine_micro
+         ) AS BIGINT) ELSE 0 END AS cosine_micro
   FROM assigned a JOIN probes p ON a.cell = p.cell
 ),
 ranked AS (
@@ -402,11 +436,11 @@ probes AS (
 ),
 cand AS (
   SELECT DISTINCT p.query_id, b.vec_id,
-         CAST(round(
+         CASE WHEN b.vnorm * p.qnorm > 0 THEN CAST(round(
            list_sum(list_transform(range(1, {dim + 1}),
                                    i -> b.v[i] * p.q[i]))
            * 1000000.0 / (b.vnorm * p.qnorm)
-         ) AS BIGINT) AS cosine_micro
+         ) AS BIGINT) ELSE 0 END AS cosine_micro
   FROM bucketed b JOIN probes p ON b.bucket = p.probe
 ),
 ranked AS (
@@ -429,7 +463,13 @@ def lsh_topk(emb: DataFrame, query_vecs: DataFrame, k: int = 10,
     bucket matches the query's bucket or any bucket within
     ``probe_flips`` bit flips (multi-probe); exact cosine on
     candidates only. Same output schema as cosine_topk."""
-    dim = len(emb.select(vec_col).first()[0])
+    qrow = query_vecs.select(qvec_col).first()
+    if qrow is None:
+        # no queries -> empty result, schema-stable (and no scan of emb)
+        return cosine_topk(emb.limit(0), query_vecs, k, id_col, vec_col,
+                           qid_col, qvec_col)
+    dim = len(qrow[0])  # from the tiny query side: no extra emb scan,
+    # and an empty/NULL-first-row base table cannot crash inference
     planes = hyperplanes(dim, n_planes, seed)
 
     base = emb.select(
@@ -454,10 +494,8 @@ def lsh_topk(emb: DataFrame, query_vecs: DataFrame, k: int = 10,
         base.join(F.broadcast(qs), base.bucket == qs.probe)
         .withColumn(
             "cosine_micro",
-            F.round(
-                _dot(F.col("v"), F.col("q")) * F.lit(1_000_000.0)
-                / (F.col("vnorm") * F.col("qnorm"))
-            ).cast("long"),
+            _cosine_micro_expr(F.col("v"), F.col("q"),
+                               F.col("vnorm"), F.col("qnorm")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -87,7 +87,25 @@ def stream_ingest(
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        apply_updates(spark, index_dir, add_corpus=batch_df, mode=mode)
+        # replay-deterministic intra-batch dedup: if one micro-batch
+        # carries the same (repo, path, commit) twice with different
+        # content, the winner must not depend on partition layout
+        # (apply_updates' fallback dedup does) — otherwise a crash +
+        # Structured Streaming replay of this batch could commit
+        # DIFFERENT postings than the first attempt. Keep the row with
+        # the lexicographically greatest content sha: arbitrary but
+        # identical on every replay.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("repo", "path", "commit").orderBy(
+            F.sha2(F.col("content"), 256).desc()
+        )
+        deduped = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        apply_updates(spark, index_dir, add_corpus=deduped, mode=mode)
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact(spark, index_dir)
 

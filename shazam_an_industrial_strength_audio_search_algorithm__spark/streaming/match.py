@@ -77,7 +77,13 @@ def stream_match(
             # scores), with the decode counters nulled to keep one
             # output schema across batches
             res = segment_topk(idx, batch_df, k=k).select(
-                "query_id", "rank", "doc_id", "score", "matched_terms",
+                "query_id", "rank", "doc_id", "score",
+                # match WAND's int32 exactly: mixed INT64/INT32 files
+                # under one out_dir make the later read
+                # listing-order-nondeterministic (schema inferred from
+                # one sampled footer, then the vectorized reader hits
+                # the other width and throws)
+                F.col("matched_terms").cast("int").alias("matched_terms"),
                 F.lit(None).cast("int").alias("blocks_decoded"),
                 F.lit(None).cast("int").alias("blocks_total"),
             )
@@ -98,7 +104,18 @@ def stream_match(
 
 def read_match_results(spark: SparkSession, out_dir: str) -> DataFrame:
     """All matched results across batches (batch_id recovered from the
-    directory layout)."""
+    directory layout). Before the first non-empty batch commits there
+    are no ``batch_id=N`` dirs — return an empty frame instead of a
+    PATH_NOT_FOUND error so monitoring can poll safely."""
+    import glob as _glob
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.wand import (
+        RESULT_SCHEMA,
+    )
+
+    if not _glob.glob(f"{out_dir}/batch_id=*"):
+        empty = spark.createDataFrame([], RESULT_SCHEMA)
+        return empty.withColumn("batch_id", F.lit(None).cast("long"))
     return (
         spark.read.option("basePath", out_dir)
         .parquet(f"{out_dir}/batch_id=*")

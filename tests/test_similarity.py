@@ -152,3 +152,29 @@ def test_ivf_persisted_layout_matches_and_prunes(spark, emb, qs, tmp_path):
          for r in want.collect()}
     assert g == w and len(g) > 0
     assert "dynamicpruning" in plan_string(got).lower(), plan_string(got)
+
+
+def test_zero_norm_vectors_score_zero_not_nan(spark):
+    """A zero-norm embedding (or query) must rank last with score 0 —
+    under Spark 4's default ANSI mode an unguarded round(NaN).cast
+    would kill the whole batch."""
+    import pandas as pd
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.dedup import (
+        embedding_neardup_blocked,
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "embedding": [[1.0, 0.0], [1.0, 0.0], [0.0, 0.0]],
+    }))
+    qs = spark.createDataFrame(pd.DataFrame({
+        "query_id": ["q0"], "qvec": [[1.0, 0.0]],
+    }))
+    rows = cosine_topk(emb, qs, k=3).orderBy("rank").collect()
+    assert [r["vec_id"] for r in rows] == [0, 1, 2]
+    assert rows[-1]["cosine_micro"] == 0  # zero-norm vec: score 0, last
+    # near-dup paths: the zero vector pairs with nothing, no crash
+    assert embedding_neardup_pairs(emb, threshold=0.5).count() == 1
+    assert embedding_neardup_blocked(emb, threshold=0.5).count() == 1

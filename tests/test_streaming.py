@@ -287,3 +287,16 @@ def test_stream_match_serves_layered_index_via_brute(
     res = read_match_results(spark, str(tmp_path / "lout")).collect()
     assert len(res) >= 1
     assert all(r["blocks_decoded"] is None for r in res)
+
+
+def test_read_match_results_before_first_batch_is_empty(spark, tmp_path):
+    """Polling the results dir before any batch committed must return
+    an empty, schema-stable frame — not PATH_NOT_FOUND."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.streaming.match import (
+        read_match_results,
+    )
+
+    out = str(tmp_path / "results")
+    df = read_match_results(spark, out)
+    assert df.count() == 0
+    assert "batch_id" in df.columns and "doc_id" in df.columns
