@@ -150,6 +150,7 @@ def run_battery(spark, sf_dir: str) -> dict[str, float]:
     api.docs_index(spark, sf_dir).doc_terms.count()
     api.docs_segment_index(spark, sf_dir)
     api.q_ann_ivf_disk(spark, sf_dir)  # persists the IVF layout
+    api.q_ann_lsh_disk(spark, sf_dir)  # persists the LSH layout
     times["battery_setup"] = round(time.monotonic() - t0, 3)
     for name, fn in api.QUERIES.items():
         t0 = time.monotonic()

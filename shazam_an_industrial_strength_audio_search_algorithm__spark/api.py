@@ -1621,6 +1621,31 @@ def q_ann_ivf_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_DISK_CACHE: dict[str, str] = {}
+
+
+def q_ann_lsh_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN through the PERSISTED bucket-partitioned layout:
+    probes prune vector partitions via dynamic partition pruning
+    instead of re-bucketing the corpus per batch. Same value oracle
+    as the in-memory ``ann_lsh`` — one oracle, two physical plans
+    (scan-side pruning vs on-the-fly bucketing)."""
+    import tempfile
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        lsh_persist,
+        lsh_topk_persisted,
+    )
+
+    if sf_dir not in _LSH_DISK_CACHE:
+        d = tempfile.mkdtemp(prefix="driver_lshidx_")
+        lsh_persist(load(spark, sf_dir, "embeddings"), d)
+        _LSH_DISK_CACHE[sf_dir] = d
+    return lsh_topk_persisted(
+        spark, _LSH_DISK_CACHE[sf_dir], _query_vecs(spark, sf_dir), k=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal battery (operators/multimodal.py)
 # ---------------------------------------------------------------------------
@@ -1734,6 +1759,7 @@ QUERIES: dict[str, callable] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_disk": q_ann_ivf_disk,
+    "ann_lsh_disk": q_ann_lsh_disk,
     # multimodal plumbing
     "media_meta": q_media_meta,
     "media_frames": q_media_frames,
@@ -1781,6 +1807,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_lsh": _ann_lsh_sql(),
     "ann_ivf": _ann_ivf_sql(),
     "ann_ivf_disk": _ann_ivf_sql(),  # one oracle, two physical plans
+    "ann_lsh_disk": _ann_lsh_sql(),  # one oracle, two physical plans
     "media_meta": Q_MEDIA_META_SQL,
     "media_frames": Q_MEDIA_FRAMES_SQL,
 }

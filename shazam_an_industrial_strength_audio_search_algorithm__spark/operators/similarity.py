@@ -305,6 +305,94 @@ def ivf_topk_persisted(spark, index_dir: str, query_vecs: DataFrame,
     )
 
 
+def lsh_persist(emb: DataFrame, out_dir: str,
+                n_planes: int = DEFAULT_PLANES, seed: int = 13,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> None:
+    """Ingest-time sign-LSH layout: vectors written PARTITIONED BY
+    their (seeded, deterministic) hyperplane bucket, plus a tiny meta
+    table (dim / n_planes / seed) so probe time can regenerate the
+    SAME planes. This is the reference's "touch only matching index
+    entries" access path (/root/reference/utils/_Shazam_.py:502-504)
+    applied to the vector store: at 10^12 vectors a probe reads the
+    probed buckets' files only (dynamic partition pruning) instead of
+    re-bucketing the whole corpus per query batch — the same storage
+    story as ``ivf_persist`` and the segment index buckets. The
+    bucket computation itself is one narrow projection (plane
+    literals folded into the expression), so the only data movement
+    is the partitioned write."""
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("lsh_persist: empty vector table")
+    dim = len(first[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("vnorm", _norm(F.col("v"))).withColumn(
+        "bucket", _bucket_expr(F.col("v"), planes)
+    )
+    # one shuffle by bucket so each bucket directory holds ONE file
+    # (2^n_planes buckets × input partitions would otherwise spray
+    # thousands of tiny files); hash partitioning sends each bucket to
+    # exactly one writer task
+    base.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{out_dir}/vectors")
+    meta = emb.sparkSession.createDataFrame(
+        [(int(dim), int(n_planes), int(seed))],
+        "dim int, n_planes int, seed int",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/meta")
+
+
+def lsh_topk_persisted(spark, index_dir: str, query_vecs: DataFrame,
+                       k: int = 10, probe_flips: int = 1,
+                       qid_col: str = "query_id",
+                       qvec_col: str = "qvec") -> DataFrame:
+    """Sign-LSH top-k over the persisted bucket-partitioned layout:
+    query buckets + single-bit-flip probes are computed on the (tiny,
+    broadcast) query side with planes regenerated from the stored
+    (dim, n_planes, seed); the vector scan is joined on its PARTITION
+    column, so dynamic partition pruning reads only the probed
+    buckets' files (asserted in test_plans). Values are identical to
+    the in-memory ``lsh_topk`` — same planes, same buckets, same
+    probes, same scoring — one oracle, two physical plans."""
+    m = spark.read.parquet(f"{index_dir}/meta").first()
+    planes = hyperplanes(m["dim"], m["n_planes"], m["seed"])
+    n_planes = int(m["n_planes"])
+
+    qs = query_vecs.select(
+        F.col(qid_col).alias("query_id"), _as_double(F.col(qvec_col)).alias("q")
+    ).withColumn("qnorm", _norm(F.col("q"))).withColumn(
+        "qbucket", _bucket_expr(F.col("q"), planes)
+    )
+    probes = [F.col("qbucket")]
+    if probe_flips >= 1:
+        probes += [
+            F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+        ]
+    qs = qs.withColumn("probe", F.explode(F.array(*probes)))
+
+    vectors = spark.read.parquet(f"{index_dir}/vectors")
+    scored = (
+        vectors.join(F.broadcast(qs), vectors.bucket == qs.probe)
+        .withColumn(
+            "cosine_micro",
+            _cosine_micro_expr(F.col("v"), F.col("q"),
+                               F.col("vnorm"), F.col("qnorm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_micro").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.select("query_id", "vec_id", "cosine_micro").distinct()
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine_micro")
+    )
+
+
 def duckdb_ivf_topk_sql(dim: int, k: int = 10,
                         n_cells: int = DEFAULT_CELLS,
                         n_probe: int = DEFAULT_PROBE,

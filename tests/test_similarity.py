@@ -154,6 +154,31 @@ def test_ivf_persisted_layout_matches_and_prunes(spark, emb, qs, tmp_path):
     assert "dynamicpruning" in plan_string(got).lower(), plan_string(got)
 
 
+def test_lsh_persisted_layout_matches_and_prunes(spark, emb, qs, tmp_path):
+    """The persisted bucket-partitioned LSH layout must return exactly
+    the in-memory lsh_topk answer, and its probe plan must carry
+    dynamic partition pruning on the bucket column — probes read the
+    probed buckets' files only, never the whole corpus."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        lsh_persist,
+        lsh_topk_persisted,
+    )
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.plans.audit import (
+        plan_string,
+    )
+
+    d = str(tmp_path / "lshidx")
+    lsh_persist(emb, d)
+    got = lsh_topk_persisted(spark, d, qs, k=5)
+    want = lsh_topk(emb, qs, k=5)
+    g = {(r["query_id"], r["rank"], r["vec_id"], r["cosine_micro"])
+         for r in got.collect()}
+    w = {(r["query_id"], r["rank"], r["vec_id"], r["cosine_micro"])
+         for r in want.collect()}
+    assert g == w and len(g) > 0
+    assert "dynamicpruning" in plan_string(got).lower(), plan_string(got)
+
+
 def test_zero_norm_vectors_score_zero_not_nan(spark):
     """A zero-norm embedding (or query) must rank last with score 0 —
     under Spark 4's default ANSI mode an unguarded round(NaN).cast
