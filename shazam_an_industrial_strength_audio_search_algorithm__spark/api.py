@@ -620,6 +620,38 @@ def q_search_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_verified_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full two-phase lifecycle (``Matching.py:120-131``) on the
+    PERSISTED index — the composition that matters at 100 TB: WAND
+    coarse top-k (block-max pruned, integer micro scores identical to
+    brute-force BM25) → positional offset-histogram verification of
+    ONLY the surviving candidates, with positions decoded from the
+    varint block payload (``positions_for_query_terms``) and
+    semi-joined to the broadcast top-k doc set before the verify
+    join. Same oracle as ``search_verified`` — one oracle, two
+    physical plans (v1 in-memory vs WAND + segment decode)."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.positional import (
+        positional_verify,
+        query_term_positions,
+    )
+
+    # persist: topk feeds BOTH the candidate gate and the final join
+    topk = q_wand_topk(spark, sf_dir).select(
+        "query_id", "rank", "doc_id", "score_micro"
+    ).persist()
+    idx = docs_segment_index(spark, sf_dir)
+    qs = queries_df(spark)
+    qtp = query_term_positions(qs)
+    postings = idx.positions_for_query_terms(qtp)
+    cand_docs = topk.select("doc_id").distinct()
+    gated = postings.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    pv = positional_verify(gated, qs)
+    return topk.join(pv, ["query_id", "doc_id"]).select(
+        "query_id", "rank", "doc_id", "score_micro",
+        "best_delta", "aligned_count",
+    )
+
+
 Q_SEARCH_VERIFIED_SQL = f"""
 WITH {_BM25_MICRO_CTES},
   ranked AS (
@@ -1727,6 +1759,7 @@ QUERIES: dict[str, callable] = {
     "positional_verify": q_positional_verify,
     "positional_segment": q_positional_segment,
     "search_verified": q_search_verified,
+    "search_verified_segment": q_search_verified_segment,
     "unindexed": q_unindexed,
     # relational operators
     "scan_agg": q_scan_agg,
@@ -1781,6 +1814,8 @@ ORACLE_SQL: dict[str, str] = {
     "positional_verify": Q_POSITIONAL_SQL,
     "positional_segment": Q_POSITIONAL_SQL,  # one oracle, two plans
     "search_verified": Q_SEARCH_VERIFIED_SQL,
+    # one oracle, two physical plans: v1 in-memory vs WAND+segment
+    "search_verified_segment": Q_SEARCH_VERIFIED_SQL,
     "unindexed": Q_UNINDEXED_SQL,
     "scan_agg": Q_SCAN_AGG_SQL,
     "join_revenue": Q_JOIN_REVENUE_SQL,

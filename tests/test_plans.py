@@ -182,6 +182,22 @@ def test_search_verified_gates_verify_on_topk(spark):
     assert has_broadcast_join(df)
 
 
+def test_search_verified_segment_gates_verify_on_topk(spark):
+    """The persisted two-phase plan (WAND coarse top-k → varint
+    positional verify) must keep the same gating shape: decoded
+    occurrences semi-join the broadcast top-k doc set before the
+    verify join, so verify cost follows k on the segment path too."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark import api
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.plans.audit import (
+        plan_string,
+    )
+
+    df = api.q_search_verified_segment(spark, SF)
+    plan = plan_string(df)
+    assert "LeftSemi" in plan, "candidate gating lost"
+    assert has_broadcast_join(df)
+
+
 def test_positional_segment_decode_is_flat(spark):
     """The persisted positional path must carry positions as a flat
     long column out of the decode kernel (no Generate/explode over an
