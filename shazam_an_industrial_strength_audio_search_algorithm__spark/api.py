@@ -448,7 +448,19 @@ def q_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``GetStats.py:55-81``): per matched doc, its matched queries
     ranked by score desc (rank_in_doc), plus the global rank across
     all matches — the reference's per-db ``sorted_stats`` files and
-    ``_global`` file as one DataFrame."""
+    ``_global`` file as one DataFrame.
+
+    SCALE NOTE: ``rank_global`` is an unpartitioned window — all
+    matched rows move to ONE partition (the WindowExec warning in the
+    bench tail). That is inherent to the semantics (the reference's
+    ``_global`` file IS a total order) and fine at report cardinality:
+    the input here is ≤ one row per matched QUERY, not per posting.
+    Feeding millions of matches through this would serialize; at that
+    scale compute the total order distributedly instead —
+    ``repartitionByRange(score desc).sortWithinPartitions`` + per-
+    partition row counts cumsummed into offsets (the standard
+    zip-with-global-index shape) — and keep this window form for the
+    report-sized output it models."""
     threshold_micro = 2_000_000
     w_q = Window.partitionBy("query_id").orderBy(
         F.col("score_micro").desc(), F.col("doc_id").asc()
@@ -1308,7 +1320,8 @@ Q_DEDUP_EXACT_SQL = """
 SELECT sha256(substr(text, 1, 40)) AS content_sha,
        count(*)::BIGINT AS group_size,
        min(doc_id) AS canonical_id,
-       array_to_string(list_sort(list(doc_id)), ',') AS member_ids
+       array_to_string(list_slice(list_sort(list(doc_id)), 1, 100), ',')
+         AS member_ids
 FROM documents
 GROUP BY sha256(substr(text, 1, 40))
 HAVING count(*) > 1

@@ -44,21 +44,54 @@ DEFAULT_NUM_PERM = 64
 DEFAULT_BANDS = 16
 
 
+def minhash_expected_recall(jaccard: float,
+                            bands: int = DEFAULT_BANDS,
+                            num_perm: int = DEFAULT_NUM_PERM) -> float:
+    """P(a pair at the given Jaccard similarity shares at least one
+    LSH band) — the banding s-curve 1 - (1 - j^r)^b with r =
+    num_perm/bands rows per band (Broder '97 / Leskovec-Rajaraman-
+    Ullman ch.3). The analysis prose in the driver query docstrings
+    made assertable: tests compute the bound from the operating point
+    instead of hard-coding a recall constant."""
+    r = num_perm // bands
+    j = min(1.0, max(0.0, float(jaccard)))
+    return 1.0 - (1.0 - j ** r) ** bands
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     max_members: int = 100) -> DataFrame:
     """Groups of byte-identical docs: (content_sha, group_size,
-    canonical_id=min id, member ids sorted). Only digests shuffle."""
+    canonical_id=min id, member ids sorted). Only digests shuffle.
+
+    ``member_ids`` holds the ``max_members`` SMALLEST ids per group
+    (``group_size`` stays the exact count): a pathological mega-dup
+    group (10^8 empty files) must not build one multi-GB row. The
+    bound holds in the AGG BUFFER too, not just the output — ids are
+    rank-gated before ``collect_list`` (nulls aren't collected), so a
+    degenerate group never materializes its full membership anywhere.
+    The rank window shares the groupBy's hash partitioning, so this
+    costs no extra shuffle. Pass ``max_members=None`` for unbounded
+    (the pre-cap behavior). For full membership at scale use
+    ``dedup_exact`` (exploded, one row per doc) instead."""
+    hashed = df.select(F.col(id_col).alias("doc_id"),
+                       F.sha2(F.col(text_col), 256).alias("content_sha"))
+    if max_members is not None:
+        w = Window.partitionBy("content_sha").orderBy(F.col("doc_id").asc())
+        hashed = hashed.withColumn("_rn", F.row_number().over(w))
+        member = F.when(F.col("_rn") <= max_members, F.col("doc_id"))
+    else:
+        member = F.col("doc_id")
     return (
-        df.select(F.col(id_col).alias("doc_id"),
-                  F.sha2(F.col(text_col), 256).alias("content_sha"))
+        hashed
         .groupBy("content_sha")
         .agg(
             F.count(F.lit(1)).cast("long").alias("group_size"),
             F.min("doc_id").alias("canonical_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
+            F.sort_array(F.collect_list(member)).alias("member_ids"),
         )
         .filter(F.col("group_size") > 1)
     )

@@ -58,24 +58,42 @@ def with_doc_id(corpus: DataFrame) -> DataFrame:
     return corpus.withColumn("doc_id", F.xxhash64(*KEY_COLS))
 
 
-def dedup_last_wins(corpus: DataFrame, strict: bool = False) -> DataFrame:
+def dedup_last_wins(corpus: DataFrame, strict: bool = True) -> DataFrame:
     """Duplicate (repo,path,commit) keys: last-writer-wins — the dict
     semantics of the reference's ``wav.scp`` parse (``Hashing.py:30``,
     SURVEY §2.1 S1). "Last" is deterministic ONLY when a monotonic
     ``ingest_seq`` column is present (the reference's file order made
-    explicit). Without it the fallback picks ONE row per key but the
-    choice depends on partition layout (``monotonically_increasing_id``
-    is layout-dependent) — fine for dedup-to-single, NOT a stable
-    last-writer. Pass ``strict=True`` to require ``ingest_seq``."""
+    explicit).
+
+    Default (``strict=True``, since round 3): deterministic always —
+    with ``ingest_seq`` the true last writer wins; without it the
+    input must carry NO duplicate keys (pass-through), and duplicate
+    keys raise loudly instead of silently resolving to a
+    partition-layout-dependent winner. The uniqueness probe runs one
+    cheap count job over the keys; batches that carry ``ingest_seq``
+    skip it entirely.
+
+    ``strict=False`` restores the pre-round-3 fallback: pick ONE row
+    per key via ``monotonically_increasing_id`` — fine for
+    dedup-to-single, NOT a stable last-writer (layout-dependent)."""
     from pyspark.sql import Window
 
     if "ingest_seq" in corpus.columns:
         order = F.col("ingest_seq").desc()
     elif strict:
-        raise ValueError(
-            "dedup_last_wins(strict=True) requires an ingest_seq column "
-            "— without it, 'last' is partition-layout-dependent"
+        dup = (
+            corpus.groupBy(*KEY_COLS).count()
+            .filter(F.col("count") > 1).limit(1).count()
         )
+        if dup:
+            raise ValueError(
+                "dedup_last_wins(strict=True): duplicate "
+                f"{tuple(KEY_COLS)} keys but no ingest_seq column — "
+                "'last' would be partition-layout-dependent. Add a "
+                "monotonic ingest_seq, or pass strict=False to accept "
+                "an arbitrary (non-reproducible) winner"
+            )
+        return corpus
     else:
         order = F.monotonically_increasing_id().desc()
     w = Window.partitionBy(*KEY_COLS).orderBy(order)

@@ -471,6 +471,16 @@ def build_segment_index(
     (``Matching.py:46-57,96``) has no integrity check at all.
     Manifests written before this field existed fail verification and
     rebuild (conservative).
+
+    NOT atomic over a LIVE index: a fresh (resume=False) build into an
+    ``index_dir`` that already holds a committed snapshot clears that
+    generation's segment data and manifests up front (required — the
+    dynamic-partition seg write would otherwise keep stale buckets
+    that are empty in the new corpus), so a crash mid-rebuild or a
+    concurrent reader loses the old snapshot instead of being served
+    it. Rebuild a live index via ``apply_updates``/``compact`` (both
+    commit atomically via snapshot+CURRENT) or build into a fresh
+    ``index_dir`` and swap the path at the serving layer.
     """
     import time as _time
 

@@ -305,6 +305,30 @@ def ivf_topk_persisted(spark, index_dir: str, query_vecs: DataFrame,
     )
 
 
+def lsh_expected_recall(cos_sim: float,
+                        n_planes: int = DEFAULT_PLANES,
+                        probe_flips: int = 1) -> float:
+    """P(a vector at cosine ``cos_sim`` to the query lands in a probed
+    bucket) under random-hyperplane sign-LSH with multi-probe of up to
+    ``probe_flips`` bit flips — the parameter-vs-guarantee analysis as
+    code (Goemans-Williamson / Charikar STOC'02): each plane agrees
+    with probability p = 1 - arccos(s)/π independently, and the
+    vector is a candidate iff at most ``probe_flips`` planes disagree,
+    so P = Σ_{i≤flips} C(n,i) p^(n-i) (1-p)^i. Tests assert measured
+    recall against this bound instead of a hard-coded constant; note
+    it is per-PAIR — expected top-k recall is the mean of P over the
+    true neighbors' cosines."""
+    import math
+
+    s = min(1.0, max(-1.0, float(cos_sim)))
+    p = 1.0 - math.acos(s) / math.pi
+    n = int(n_planes)
+    return sum(
+        math.comb(n, i) * p ** (n - i) * (1.0 - p) ** i
+        for i in range(int(probe_flips) + 1)
+    )
+
+
 def lsh_persist(emb: DataFrame, out_dir: str,
                 n_planes: int = DEFAULT_PLANES, seed: int = 13,
                 id_col: str = "vec_id",

@@ -153,6 +153,21 @@ def _topk_one_query(terms: list[_Term], k: int, avgdl: float):
         blk[ti] = np.where(valid, i, -1)
         ub += np.where(valid, t.bounds[np.clip(i, 0, None)], 0.0)
 
+    # clamped residual: a block with lo == hi == int64_max that
+    # coexists with earlier cuts is invisible to the searchsorted
+    # selection above (the widened last interval's start resolves to
+    # an earlier block whose hi < start) — force-select it for the
+    # last interval, and add its bound to that interval's ub so the
+    # pruning gate can never skip an interval it could win.
+    forced: list[tuple[int, int]] = []
+    if clamped and n_int > 0:
+        last = n_int - 1
+        for ti, t in enumerate(terms):
+            bi = len(t.los) - 1
+            if t.los[bi] == int64_max and int(blk[ti, last]) != bi:
+                forced.append((ti, bi))
+                ub[last] += t.bounds[bi]
+
     order = np.argsort(-ub, kind="stable")
     top_docs: np.ndarray = np.zeros(0, np.int64)
     top_scores: np.ndarray = np.zeros(0, np.float64)
@@ -173,6 +188,12 @@ def _topk_one_query(terms: list[_Term], k: int, avgdl: float):
             bi = int(blk[ti, ii])
             if bi >= 0:
                 ids_p, c_p = t.slice(bi, s, e, avgdl)
+                if ids_p.size:
+                    ids_parts.append(ids_p)
+                    c_parts.append(c_p)
+        if forced and ii == n_int - 1:
+            for ti, bi in forced:
+                ids_p, c_p = terms[ti].slice(bi, s, e, avgdl)
                 if ids_p.size:
                     ids_parts.append(ids_p)
                     c_parts.append(c_p)

@@ -51,6 +51,56 @@ def test_exact_dup_groups_and_dedup(spark, dup_df):
     assert kept.filter(F.col("doc_id") == 100).count() == 0  # min id kept
 
 
+def test_exact_dup_groups_bounds_degenerate_membership(spark):
+    """A mega-dup group (100k identical docs) must NOT build one row
+    holding every member id: member_ids is capped at max_members
+    (smallest ids first) while group_size stays the exact count."""
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("same text").alias("text")
+    )
+    g = exact_dup_groups(df, max_members=100).collect()
+    assert len(g) == 1
+    assert g[0]["group_size"] == n
+    assert g[0]["canonical_id"] == 0
+    assert list(g[0]["member_ids"]) == list(range(100))
+    # unbounded opt-out still available
+    full = exact_dup_groups(df.filter(F.col("doc_id") < 500),
+                            max_members=None).collect()
+    assert len(list(full[0]["member_ids"])) == 500
+
+
+def test_last_wins_strict_default_is_deterministic(spark):
+    """strict=True (the default): unique keys pass through untouched;
+    duplicate keys without ingest_seq raise instead of silently
+    picking a partition-layout-dependent winner; with ingest_seq the
+    true last writer wins."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.index_build import (
+        dedup_last_wins,
+    )
+
+    cols = ["repo", "path", "commit", "content"]
+    uniq = spark.createDataFrame(
+        [("r", "a", "c1", "x"), ("r", "b", "c1", "y")], cols
+    )
+    assert dedup_last_wins(uniq).count() == 2
+
+    dup = spark.createDataFrame(
+        [("r", "a", "c1", "old"), ("r", "a", "c1", "new")], cols
+    )
+    with pytest.raises(ValueError, match="ingest_seq"):
+        dedup_last_wins(dup).collect()
+    # layout-dependent fallback is opt-in only
+    assert dedup_last_wins(dup, strict=False).count() == 1
+
+    seq = spark.createDataFrame(
+        [("r", "a", "c1", "old", 1), ("r", "a", "c1", "new", 2)],
+        cols + ["ingest_seq"],
+    )
+    rows = dedup_last_wins(seq).collect()
+    assert len(rows) == 1 and rows[0]["content"] == "new"
+
+
 def test_ngram_jaccard_finds_planted_pairs(spark, dup_df):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard_micro"]
@@ -80,6 +130,10 @@ def test_prefix_filter_matches_naive_kernel(spark, dup_df):
 def test_minhash_estimates_match_exact(spark, dup_df):
     """LSH must surface the planted pairs; the MinHash estimate must
     be within ±0.15 of exact Jaccard for every surfaced pair."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.dedup import (
+        minhash_expected_recall,
+    )
+
     got = minhash_lsh_pairs(dup_df, threshold=0.5, verify=True).collect()
     pairs = {(r["doc_a"], r["doc_b"]): r for r in got}
     assert (0, 100) in pairs and (1, 101) in pairs
@@ -87,6 +141,12 @@ def test_minhash_estimates_match_exact(spark, dup_df):
         assert abs(r["est_jaccard_micro"] - r["jaccard_micro"]) <= 150_000, (
             f"estimate off: {r}"
         )
+    # the expectation of finding the planted pairs is ANALYTIC, not
+    # luck: the banding s-curve at their true Jaccard must make a
+    # miss negligible at the default (16 bands × 4 rows) point
+    for key in [(0, 100), (1, 101)]:
+        j = pairs[key]["jaccard_micro"] / 1e6
+        assert minhash_expected_recall(j) >= 0.99, (key, j)
 
 
 def test_simhash_finds_planted_near_dups(spark, dup_df):

@@ -106,3 +106,51 @@ def test_interval_kernel_covers_max_int64_doc_id():
     assert len(docs) == 3
     # highest tf (the max-id doc) must rank first
     assert int(docs[0]) == int(max_id)
+
+
+def test_interval_kernel_covers_lone_max_block_among_other_cuts():
+    """The residual of the clamp fix: a block with lo == hi ==
+    int64_max COEXISTING with other blocks' cuts. searchsorted
+    resolves the widened last interval to an earlier block, so the
+    lone max block must be force-selected (and its bound added to the
+    interval's ub) or its doc silently vanishes."""
+    import numpy as np
+    import pandas as pd
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.functions.codec import (
+        encode_block,
+    )
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.wand import (
+        _Term,
+        _topk_one_query,
+    )
+
+    max_id = np.int64(2**63 - 1)
+
+    def blk(ids, tfs):
+        ids = np.array(ids, dtype=np.int64)
+        tfs = np.array(tfs, dtype=np.int64)
+        dls = np.full(ids.size, 10, dtype=np.int64)
+        return {
+            "doc_id_lo": int(ids[0]), "doc_id_hi": int(ids[-1]),
+            "max_tf": int(tfs.max()), "min_dl": 10,
+            "payload": encode_block(ids, tfs, dls),
+        }
+
+    # term A: two blocks — [5,100] and the lone [max,max] block
+    ga = pd.DataFrame([blk([5, 100], [1, 2]), blk([max_id], [3])])
+    # term B: one block whose cuts make the last interval start BELOW
+    # max (so searchsorted picks B's block, never A's max block)
+    gb = pd.DataFrame([blk([7, 200], [1, 1])])
+    ta = _Term(idf=1.0, g=ga, avgdl=10.0)
+    tb = _Term(idf=1.0, g=gb, avgdl=10.0)
+    docs, scores, matched, decoded, total = _topk_one_query(
+        [ta, tb], k=5, avgdl=10.0
+    )
+    got = set(int(d) for d in docs)
+    assert int(max_id) in got, (
+        "lone [max,max] block dropped when coexisting with other cuts"
+    )
+    assert got == {5, 7, 100, 200, int(max_id)}
+    # highest tf (the max-id doc) must rank first
+    assert int(docs[0]) == int(max_id)
