@@ -712,36 +712,12 @@ def q_bm25_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment index (buckets, salting, snapshots) → decode → BM25 —
     must hash-match the same DuckDB oracle as the in-memory engine
     (Q_BM25_TOPK_SQL): one oracle, two physical plans."""
-    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.topk import (
-        query_terms,
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
+        segment_topk,
     )
 
     idx = docs_segment_index(spark, sf_dir)
-    qt = query_terms(queries_df(spark))
-    postings = idx.postings_for_query_terms(qt)
-    scored = (
-        postings.join(F.broadcast(qt), "term")
-        .withColumn(
-            "contrib_micro",
-            F.round(
-                score_col(F.col("tf"), F.col("df"), F.col("doc_len"),
-                          idx.n_docs, idx.avgdl) * F.lit(1_000_000.0)
-            ).cast("long"),
-        )
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.sum("contrib_micro").alias("score_micro"),
-            F.count(F.lit(1)).cast("long").alias("matched_terms"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_micro").desc(), F.col("doc_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK_K)
-        .select("query_id", "rank", "doc_id", "score_micro", "matched_terms")
-    )
+    return segment_topk(idx, queries_df(spark), k=TOPK_K, micro=True)
 
 
 def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -759,6 +735,52 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = docs_segment_index(spark, sf_dir)
     res = wand_topk(idx, queries_df(spark), k=TOPK_K, micro=True)
     return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        "score_micro",
+        F.col("matched_terms").cast("long").alias("matched_terms"),
+    )
+
+
+_STREAM_MATCH_CACHE: dict[str, str] = {}
+
+
+def q_stream_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming surface, driver-gated: the flagship queries are
+    replayed as a FILE-SOURCE STREAM (two parquet files,
+    maxFilesPerTrigger=1 → two checkpointed micro-batches — the
+    reference's resumable query loop, ``Matching.py:21,46-57``),
+    matched per batch with block-max WAND in integer micro mode, and
+    committed idempotently to batch_id partitions. The union of the
+    streamed batches must hash-match the SAME DuckDB oracle as every
+    batch engine (Q_BM25_TOPK_SQL): one oracle, FOUR physical plans
+    (v1 in-memory, segment brute force, WAND, streamed WAND)."""
+    import tempfile
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.streaming.match import (
+        read_match_results,
+        stream_match,
+    )
+
+    if sf_dir not in _STREAM_MATCH_CACHE:
+        docs_segment_index(spark, sf_dir)  # ensure the snapshot exists
+        base = tempfile.mkdtemp(prefix="driver_stream_")
+        qdir, odir, cdir = (f"{base}/queries", f"{base}/out",
+                            f"{base}/ckpt")
+        qs = queries_df(spark)
+        half = [qid for qid, _ in FLAGSHIP_QUERIES[:2]]
+        qs.filter(F.col("query_id").isin(half)).coalesce(1)\
+            .write.mode("append").parquet(qdir)
+        qs.filter(~F.col("query_id").isin(half)).coalesce(1)\
+            .write.mode("append").parquet(qdir)
+        q = stream_match(spark, qdir, _SEG_CACHE[sf_dir], odir, cdir,
+                         k=TOPK_K, max_files_per_trigger=1, micro=True)
+        q.awaitTermination()
+        _STREAM_MATCH_CACHE[sf_dir] = odir
+    return read_match_results(
+        spark, _STREAM_MATCH_CACHE[sf_dir], micro=True
+    ).select(
         "query_id",
         F.col("rank").cast("long").alias("rank"),
         "doc_id",
@@ -1773,6 +1795,7 @@ QUERIES: dict[str, callable] = {
     "positional_segment": q_positional_segment,
     "search_verified": q_search_verified,
     "search_verified_segment": q_search_verified_segment,
+    "stream_match": q_stream_match,
     "unindexed": q_unindexed,
     # relational operators
     "scan_agg": q_scan_agg,
@@ -1819,6 +1842,9 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk": Q_BM25_TOPK_SQL,
     "bm25_segment": Q_BM25_TOPK_SQL,  # one oracle, three physical plans
     "wand_topk": Q_BM25_TOPK_SQL,  # the pruned executor vs the same truth
+    # streamed WAND (file-source replay, 2 micro-batches) vs the same
+    # truth again: one oracle, four physical plans
+    "stream_match": Q_BM25_TOPK_SQL,
     "match_or_nil": Q_MATCH_OR_NIL_SQL,
     "match_compat": Q_MATCH_COMPAT_SQL,
     "match_stats": Q_MATCH_STATS_SQL,

@@ -1120,6 +1120,7 @@ def segment_topk(
     k: int = 10,
     id_col: str = "query_id",
     text_col: str = "text",
+    micro: bool = False,
 ) -> DataFrame:
     """BM25 top-k over the persisted segment index.
 
@@ -1129,6 +1130,12 @@ def segment_topk(
     (doc_len inline, no norms join) → groupBy(query, doc) sum →
     row_number ≤ k. Semantics identical to operators/topk.bm25_topk
     (tests/test_segments.py).
+
+    ``micro=True`` switches to exact integer micro-unit scoring
+    (round each per-term contribution to 1e-6 BEFORE the sum — the
+    fold-order-independent convention every oracle-gated path
+    shares): output column becomes ``score_micro`` (long) and rank is
+    long, matching the driver-gate schema.
     """
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.topk import (
         query_terms,
@@ -1136,13 +1143,31 @@ def segment_topk(
 
     qt = query_terms(queries, id_col, text_col)
     postings = index.postings_for_query_terms(qt)
+    term_score = score_col(F.col("tf"), F.col("df"), F.col("doc_len"),
+                           index.n_docs, index.avgdl)
+    if micro:
+        contrib = F.round(term_score * F.lit(1_000_000.0)).cast("long")
+        scored = (
+            postings.join(F.broadcast(qt), "term")
+            .withColumn("contrib_micro", contrib)
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.sum("contrib_micro").alias("score_micro"),
+                F.count(F.lit(1)).cast("long").alias("matched_terms"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score_micro").desc(), F.col("doc_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score_micro",
+                    "matched_terms")
+        )
     scored = (
         postings.join(F.broadcast(qt), "term")
-        .withColumn(
-            "term_score",
-            score_col(F.col("tf"), F.col("df"), F.col("doc_len"),
-                      index.n_docs, index.avgdl),
-        )
+        .withColumn("term_score", term_score)
         .groupBy("query_id", "doc_id")
         .agg(
             F.sum("term_score").alias("score"),

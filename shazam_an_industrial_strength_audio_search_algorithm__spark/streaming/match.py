@@ -43,6 +43,7 @@ def stream_match(
     k: int = 10,
     trigger_available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    micro: bool = False,
 ):
     """Match query parquet files appearing under ``queries_dir``
     against the committed snapshot at ``index_dir``; top-k rows land
@@ -51,6 +52,12 @@ def stream_match(
     With ``trigger_available_now`` the stream drains everything
     currently available and stops (the batch/replay mode); otherwise
     it runs continuously, matching new query files as they arrive.
+
+    ``micro=True`` scores in exact integer micro-units (the
+    driver-gate convention): the result column is ``score_micro``
+    (long) instead of ``score`` (double), identical across the WAND
+    and merge-on-read paths, so streamed output hash-matches the
+    batch engines row for row.
     """
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
         SegmentIndex,
@@ -71,24 +78,27 @@ def stream_match(
         # reopen per batch: a concurrent stream_ingest may have
         # committed new snapshots (possibly delta layers) mid-stream
         idx = SegmentIndex.open(spark, index_dir)
+        score_c = "score_micro" if micro else "score"
         if idx.has_deltas:
             # WAND needs a compacted index; merge-on-read batches are
             # served exactly by the brute path (same docs/ranks/
             # scores), with the decode counters nulled to keep one
             # output schema across batches
-            res = segment_topk(idx, batch_df, k=k).select(
-                "query_id", "rank", "doc_id", "score",
-                # match WAND's int32 exactly: mixed INT64/INT32 files
+            res = segment_topk(idx, batch_df, k=k, micro=micro).select(
+                "query_id",
+                # match WAND's widths exactly: mixed INT64/INT32 files
                 # under one out_dir make the later read
                 # listing-order-nondeterministic (schema inferred from
                 # one sampled footer, then the vectorized reader hits
                 # the other width and throws)
+                F.col("rank").cast("int").alias("rank"),
+                "doc_id", score_c,
                 F.col("matched_terms").cast("int").alias("matched_terms"),
                 F.lit(None).cast("int").alias("blocks_decoded"),
                 F.lit(None).cast("int").alias("blocks_total"),
             )
         else:
-            res = wand_topk(idx, batch_df, k=k)
+            res = wand_topk(idx, batch_df, k=k, micro=micro)
         # idempotent per-batch commit: a replay of batch N rewrites
         # out_dir/batch_id=N with identical content
         res.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
@@ -102,11 +112,14 @@ def stream_match(
     return writer.start()
 
 
-def read_match_results(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_match_results(spark: SparkSession, out_dir: str,
+                       micro: bool = False) -> DataFrame:
     """All matched results across batches (batch_id recovered from the
     directory layout). Before the first non-empty batch commits there
     are no ``batch_id=N`` dirs — return an empty frame instead of a
-    PATH_NOT_FOUND error so monitoring can poll safely."""
+    PATH_NOT_FOUND error so monitoring can poll safely. Pass the same
+    ``micro`` the stream was started with so the empty-path schema
+    matches committed batches (score vs score_micro)."""
     import glob as _glob
 
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.wand import (
@@ -114,7 +127,12 @@ def read_match_results(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
     if not _glob.glob(f"{out_dir}/batch_id=*"):
-        empty = spark.createDataFrame([], RESULT_SCHEMA)
+        schema = T.StructType([
+            T.StructField("score_micro", T.LongType())
+            if f.name == "score" else f
+            for f in RESULT_SCHEMA
+        ]) if micro else RESULT_SCHEMA
+        empty = spark.createDataFrame([], schema)
         return empty.withColumn("batch_id", F.lit(None).cast("long"))
     return (
         spark.read.option("basePath", out_dir)

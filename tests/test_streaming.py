@@ -300,3 +300,10 @@ def test_read_match_results_before_first_batch_is_empty(spark, tmp_path):
     df = read_match_results(spark, out)
     assert df.count() == 0
     assert "batch_id" in df.columns and "doc_id" in df.columns
+    # micro mode: the empty-path schema must match committed batches
+    # (score_micro long, not score double) so pre/post-commit polls
+    # union cleanly
+    dfm = read_match_results(spark, out, micro=True)
+    assert dfm.count() == 0
+    assert dict(dfm.dtypes)["score_micro"] == "bigint"
+    assert "score" not in dfm.columns
