@@ -132,7 +132,8 @@ def make_queries(corpus: pd.DataFrame, n_queries: int = 30, seed: int = 44,
 
 def distributed_corpus(spark, n_docs: int, seed: int = 42,
                        min_len: int = 50, max_len: int = 2000,
-                       partitions: int | None = None):
+                       partitions: int | None = None,
+                       start: int = 0):
     """Spark-distributed deterministic corpus generator (bench scale).
 
     Same schema and distributional shape as ``make_corpus`` but
@@ -141,6 +142,11 @@ def distributed_corpus(spark, n_docs: int, seed: int = 42,
     regardless of partitioning or core count — the property the
     scaling benchmark depends on (same input at local[8] and
     local[32]).
+
+    ``start`` shifts the id range to [start, start+n_docs): an update
+    batch generated with ``start=N`` is disjoint from (and identically
+    distributed to) the base corpus's docs 0..N — the scale-stress
+    delta-update fixture.
     """
     import pandas as _pd
     from pyspark.sql import functions as F
@@ -169,7 +175,7 @@ def distributed_corpus(spark, n_docs: int, seed: int = 42,
             )
 
     parts = partitions or spark.sparkContext.defaultParallelism
-    base = spark.range(0, n_docs, numPartitions=parts)
+    base = spark.range(start, start + n_docs, numPartitions=parts)
     return base.mapInPandas(
         gen,
         schema="repo string, path string, commit string, lang string, "
