@@ -443,6 +443,79 @@ FROM top1 GROUP BY doc_id
 """
 
 
+def q_match_classed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query-CLASS thresholds — the reference switches threshold
+    by query length (10 short / 300 long,
+    ``/root/reference/utils/conf.py:173-175``, ``README.md:24-25``);
+    here ``per_query_thresholds`` builds the tiny (query_id,
+    threshold) dim frame (≤5 tokens → 2.0, else 3.0, in micro units)
+    and ``decide`` broadcast-joins it in place of the scalar."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.topk import (
+        decide,
+        per_query_thresholds,
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    cand = (
+        _bm25_micro_scores(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w))
+        .select("query_id", "rank", "doc_id",
+                F.col("score_micro").alias("score"))
+    )
+    thr = per_query_thresholds(
+        queries_df(spark), short_threshold=2_000_000,
+        long_threshold=3_000_000, max_short_tokens=5,
+    )
+    out = decide(cand, queries_df(spark), thr)
+    return out.select(
+        "query_id", "matched_doc_id",
+        F.col("matched_score").cast("long").alias("matched_score_micro"),
+        "second_doc_id",
+        F.col("second_score").cast("long").alias("second_score_micro"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+    )
+
+
+Q_MATCH_CLASSED_SQL = f"""
+WITH {_BM25_MICRO_CTES},
+  ranked AS (
+    SELECT query_id, doc_id, score_micro,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY score_micro DESC, doc_id ASC
+           ) AS rank
+    FROM scored
+  ),
+  agg AS (
+    SELECT query_id,
+           max(CASE WHEN rank = 1 THEN doc_id END) AS top1_doc,
+           max(CASE WHEN rank = 1 THEN score_micro END) AS top1_score,
+           max(CASE WHEN rank = 2 THEN doc_id END) AS second_doc,
+           max(CASE WHEN rank = 2 THEN score_micro END) AS second_score,
+           count(*)::BIGINT AS n_candidates
+    FROM ranked GROUP BY query_id
+  ),
+  thr AS (
+    SELECT query_id,
+           CASE WHEN len({DUCKDB_TOKENS_SQL.format(col="qtext")}) <= 5
+                THEN 2000000 ELSE 3000000 END AS threshold
+    FROM qv
+  )
+SELECT qv.query_id,
+       CASE WHEN top1_score > threshold THEN top1_doc END AS matched_doc_id,
+       CASE WHEN top1_score > threshold THEN top1_score END
+         AS matched_score_micro,
+       CASE WHEN top1_score > threshold THEN second_doc ELSE top1_doc END
+         AS second_doc_id,
+       CASE WHEN top1_score > threshold THEN second_score ELSE top1_score END
+         AS second_score_micro,
+       CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates
+FROM qv LEFT JOIN agg USING (query_id) JOIN thr USING (query_id)
+"""
+
+
 def q_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GetStats report (SURVEY §2.1 S5, §2.5 W5,
     ``GetStats.py:55-81``): per matched doc, its matched queries
@@ -1788,6 +1861,7 @@ QUERIES: dict[str, callable] = {
     "wand_topk": q_wand_topk,
     "match_or_nil": q_match_or_nil,
     "match_compat": q_match_compat,
+    "match_classed": q_match_classed,
     "match_stats": q_match_stats,
     "db2qry": q_db2qry,
     "phrase_match": q_phrase_match,
@@ -1847,6 +1921,7 @@ ORACLE_SQL: dict[str, str] = {
     "stream_match": Q_BM25_TOPK_SQL,
     "match_or_nil": Q_MATCH_OR_NIL_SQL,
     "match_compat": Q_MATCH_COMPAT_SQL,
+    "match_classed": Q_MATCH_CLASSED_SQL,
     "match_stats": Q_MATCH_STATS_SQL,
     "db2qry": Q_DB2QRY_SQL,
     "phrase_match": Q_PHRASE_MATCH_SQL,

@@ -91,7 +91,42 @@ def bm25_topk(index: InvertedIndex, queries: DataFrame, k: int = 10,
     )
 
 
-def decide_compat(scores: DataFrame, queries: DataFrame, threshold: float,
+def per_query_thresholds(queries: DataFrame,
+                         short_threshold: float, long_threshold: float,
+                         max_short_tokens: int,
+                         id_col: str = "query_id",
+                         text_col: str = "text") -> DataFrame:
+    """(query_id, threshold): the reference's query-length-dependent
+    threshold switch (``conf.py:173-175``, ``README.md:24-25`` — 10
+    for short queries, 300 for long) as a tiny dimension frame.
+    Feed the result to ``decide``/``decide_compat`` in place of the
+    scalar ``threshold`` — they broadcast-join it, so per-class
+    thresholds cost nothing at scale."""
+    n = F.size(tokens_col(text_col))
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        F.when(n <= max_short_tokens, F.lit(float(short_threshold)))
+        .otherwise(F.lit(float(long_threshold))).alias("threshold"),
+    )
+
+
+def _threshold_expr(df: DataFrame, threshold) -> tuple[DataFrame, "F.Column"]:
+    """Resolve a scalar-or-frame threshold: a float becomes a literal;
+    a (query_id, threshold) DataFrame broadcast-joins in (a query
+    absent from the frame gets NULL and therefore never matches —
+    deliberately conservative)."""
+    if isinstance(threshold, DataFrame):
+        return (
+            df.join(
+                F.broadcast(threshold.select("query_id", "threshold")),
+                "query_id", "left",
+            ),
+            F.col("threshold"),
+        )
+    return df, F.lit(float(threshold))
+
+
+def decide_compat(scores: DataFrame, queries: DataFrame, threshold,
                   id_col: str = "query_id") -> DataFrame:
     """Reference-COMPAT decision mode (SURVEY §2.5 W3,
     ``Matching.py:120-139``): candidates are evaluated in
@@ -109,14 +144,19 @@ def decide_compat(scores: DataFrame, queries: DataFrame, threshold: float,
 
     ``scores``: (query_id, doc_id, score, matched_terms) — the full
     candidate set (``bm25_scores``), not a top-k cut.
+
+    ``threshold``: a float, or a (query_id, threshold) DataFrame for
+    per-query-class thresholds (``per_query_thresholds`` — the
+    reference's short/long switch, ``conf.py:173-175``).
     """
     w_cand = Window.partitionBy("query_id").orderBy(
         F.col("matched_terms").desc(), F.col("doc_id").asc()
     )
     ranked = scores.withColumn("cand_rank", F.row_number().over(w_cand))
+    ranked, thr = _threshold_expr(ranked, threshold)
     w_first = Window.partitionBy("query_id").orderBy(F.col("cand_rank").asc())
     match = (
-        ranked.filter(F.col("score") > F.lit(threshold))
+        ranked.filter(F.col("score") > thr)
         .withColumn("rn", F.row_number().over(w_first))
         .filter(F.col("rn") == 1)
         .select(
@@ -175,7 +215,7 @@ def db2qry(decisions: DataFrame) -> DataFrame:
     )
 
 
-def decide(topk: DataFrame, queries: DataFrame, threshold: float,
+def decide(topk: DataFrame, queries: DataFrame, threshold,
            id_col: str = "query_id") -> DataFrame:
     """Per-query "doc or Nil" + second-best (SURVEY §2.2 F7, §2.5 W3/W4).
 
@@ -184,6 +224,10 @@ def decide(topk: DataFrame, queries: DataFrame, threshold: float,
     candidates appear with NULLs (left join from the query list — the
     reference records every query in Matched_ or Unmatched_Dict,
     ``Matching.py:128,141-148``).
+
+    ``threshold``: a float, or a (query_id, threshold) DataFrame for
+    per-query-class thresholds (``per_query_thresholds`` — the
+    reference's short/long switch, ``conf.py:173-175``).
     """
     ranked = topk.groupBy("query_id").agg(
         F.max(F.when(F.col("rank") == 1, F.col("doc_id"))).alias("top1_doc"),
@@ -194,7 +238,8 @@ def decide(topk: DataFrame, queries: DataFrame, threshold: float,
     )
     qs = queries.select(F.col(id_col).alias("query_id")).distinct()
     out = qs.join(ranked, "query_id", "left")
-    is_match = F.col("top1_score") > F.lit(threshold)
+    out, thr = _threshold_expr(out, threshold)
+    is_match = F.col("top1_score") > thr
     return out.select(
         "query_id",
         F.when(is_match, F.col("top1_doc")).alias("matched_doc_id"),

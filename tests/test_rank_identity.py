@@ -139,3 +139,44 @@ def test_compat_mode_diverges_from_engine_mode(spark):
     nil = decide_compat(scores, queries, threshold=99.0).collect()[0]
     assert nil["matched_doc_id"] is None
     assert nil["second_doc_id"] == 3 and nil["second_score"] == 9.9
+
+
+def test_per_query_class_thresholds(spark):
+    """A (query_id, threshold) frame in place of the scalar: the same
+    scores must flip match/Nil per class, and per_query_thresholds
+    must class by token count — the reference's short/long threshold
+    switch (conf.py:173-175) as a broadcast dim frame."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.topk import (
+        decide_compat,
+        per_query_thresholds,
+    )
+
+    queries = spark.createDataFrame(
+        [("qs", "one two"), ("ql", "one two three four five six seven")],
+        "query_id string, text string",
+    )
+    thr = per_query_thresholds(queries, short_threshold=1.0,
+                               long_threshold=5.0, max_short_tokens=5)
+    tmap = {r["query_id"]: r["threshold"] for r in thr.collect()}
+    assert tmap == {"qs": 1.0, "ql": 5.0}
+
+    topk = spark.createDataFrame(
+        [("qs", 1, 10, 3.0), ("ql", 1, 20, 3.0)],
+        "query_id string, rank int, doc_id long, score double",
+    )
+    out = {r["query_id"]: r for r in decide(topk, queries, thr).collect()}
+    assert out["qs"]["matched_doc_id"] == 10      # 3.0 > short 1.0
+    assert out["ql"]["matched_doc_id"] is None    # 3.0 < long 5.0
+    # scalar path unchanged
+    out2 = {r["query_id"]: r for r in decide(topk, queries, 2.0).collect()}
+    assert out2["qs"]["matched_doc_id"] == 10
+    assert out2["ql"]["matched_doc_id"] == 20
+
+    scores = spark.createDataFrame(
+        [("qs", 10, 3.0, 2), ("ql", 20, 3.0, 2)],
+        "query_id string, doc_id long, score double, matched_terms int",
+    )
+    oc = {r["query_id"]: r
+          for r in decide_compat(scores, queries, thr).collect()}
+    assert oc["qs"]["matched_doc_id"] == 10
+    assert oc["ql"]["matched_doc_id"] is None
