@@ -71,6 +71,15 @@ def main() -> None:
             "only n_probe/n_cells of the files.",
         ),
         (
+            "ann_lsh_disk — persisted sign-LSH ANN "
+            "(bucket-partitioned layout)",
+            api.q_ann_lsh_disk(spark, SF),
+            "The vector scan joins its PARTITION column (bucket) "
+            "against the broadcast multi-probe set — dynamic "
+            "partition pruning reads only the probed buckets' files, "
+            "never re-bucketing the corpus per batch.",
+        ),
+        (
             "emb_neardup — exact embedding near-dup via blocked "
             "matmul grid",
             api.q_emb_neardup(spark, SF),
@@ -110,6 +119,16 @@ def main() -> None:
             "set before the position explode: verify cost follows k, "
             "not candidate count ('cheap filter first, expensive "
             "verify second').",
+        ),
+        (
+            "search_verified_segment — the same lifecycle on the "
+            "persisted index (WAND coarse top-k → varint positional "
+            "verify)",
+            api.q_search_verified_segment(spark, SF),
+            "WAND's block-max pruned top-k feeds the SAME semi-join "
+            "gate; positions decode from the varint payload only for "
+            "query terms, then semi-join the broadcast top-k docs "
+            "before the verify join.",
         ),
     ]
 

@@ -38,12 +38,14 @@ HOT_DF = 2048
 BLOCK_SIZE = 128
 
 
-def _spark(cores: int = 32, shuffle: int = 64):
+def _spark(cores: int = 32, shuffle: int = 64,
+           extra_conf: dict | None = None):
     from shazam_an_industrial_strength_audio_search_algorithm__spark.session import (
         get_spark,
     )
 
-    return get_spark("scale_stress", cores=cores, shuffle_partitions=shuffle)
+    return get_spark("scale_stress", cores=cores, shuffle_partitions=shuffle,
+                     extra_conf=extra_conf)
 
 
 def _emit(d: dict) -> None:
@@ -55,7 +57,7 @@ def cmd_gen(args) -> None:
         distributed_corpus,
     )
 
-    spark = _spark(args.cores)
+    spark = _spark(args.cores, shuffle=args.shuffle)
     t0 = time.monotonic()
     distributed_corpus(spark, args.docs, start=args.start).write.mode(
         "overwrite"
@@ -70,7 +72,19 @@ def cmd_build(args) -> None:
         build_segment_index,
     )
 
-    spark = _spark(args.cores)
+    # memory-bound, not CPU-bound, at the top end: N workers × one
+    # Arrow batch each is the peak-RSS term, so per-task batch size
+    # must SHRINK as the corpus grows (fixed box, growing data — on a
+    # cluster, executor count grows instead). The 2M-doc leg OOMed the
+    # 128 GB box at the engine defaults (64k-doc batches × 32 workers);
+    # 64 MB input splits + 16k-doc Arrow batches bound it.
+    conf = {}
+    if args.max_partition_bytes:
+        conf["spark.sql.files.maxPartitionBytes"] = str(args.max_partition_bytes)
+    if args.arrow_batch:
+        conf["spark.sql.execution.arrow.maxRecordsPerBatch"] = str(args.arrow_batch)
+    spark = _spark(args.cores, shuffle=args.shuffle,
+                   extra_conf=conf or None)
     corpus = spark.read.parquet(args.corpus)
     t0 = time.monotonic()
     rep = build_segment_index(
@@ -101,7 +115,7 @@ def cmd_queries(args) -> None:
     the zipf-shared-term candidates — the realistic selective shape)."""
     from pyspark.sql import functions as F
 
-    spark = _spark(args.cores)
+    spark = _spark(args.cores, shuffle=args.shuffle)
     docs = (
         spark.read.parquet(args.corpus)
         .withColumn(
@@ -131,7 +145,7 @@ def cmd_query(args) -> None:
         wand_topk,
     )
 
-    spark = _spark(args.cores)
+    spark = _spark(args.cores, shuffle=args.shuffle)
     idx = SegmentIndex.open(spark, args.index)
     qs = spark.read.parquet(args.queries)
     nq = qs.count()
@@ -158,7 +172,7 @@ def cmd_update(args) -> None:
         distributed_corpus,
     )
 
-    spark = _spark(args.cores)
+    spark = _spark(args.cores, shuffle=args.shuffle)
     add = distributed_corpus(spark, args.add, start=args.start)
     t0 = time.monotonic()
     rep = apply_updates(spark, args.index, add_corpus=add, mode=args.mode)
@@ -174,7 +188,7 @@ def cmd_compact(args) -> None:
         compact,
     )
 
-    spark = _spark(args.cores)
+    spark = _spark(args.cores, shuffle=args.shuffle)
     t0 = time.monotonic()
     rep = compact(spark, args.index)
     _emit({
@@ -187,6 +201,7 @@ def cmd_compact(args) -> None:
 def main(argv: list[str]) -> int:
     p = argparse.ArgumentParser(prog="scale_stress")
     p.add_argument("--cores", type=int, default=32)
+    p.add_argument("--shuffle", type=int, default=64)
     sub = p.add_subparsers(dest="cmd", required=True)
 
     g = sub.add_parser("gen")
@@ -197,6 +212,8 @@ def main(argv: list[str]) -> int:
     b = sub.add_parser("build")
     b.add_argument("--corpus", required=True)
     b.add_argument("--index", required=True)
+    b.add_argument("--max-partition-bytes", type=int, default=None)
+    b.add_argument("--arrow-batch", type=int, default=None)
 
     qs = sub.add_parser("queries")
     qs.add_argument("--corpus", required=True)

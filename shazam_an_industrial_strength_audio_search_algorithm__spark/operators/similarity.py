@@ -139,6 +139,57 @@ def ivf_centroids(emb: DataFrame, n_cells: int = DEFAULT_CELLS,
     )
 
 
+def ivf_centroids_refined(emb: DataFrame, n_cells: int = DEFAULT_CELLS,
+                          iters: int = 2,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Lloyd-refined coarse quantizer: seed with the deterministic
+    sampled centroids (``ivf_centroids``), then run ``iters`` k-means
+    iterations (assign → per-cell component mean → renormalize). Each
+    iteration is one narrow assignment pass (centroid literals, no
+    shuffle of the vector table) plus one component-mean shuffle of
+    N×dim (cell, i, x) rows — the standard distributed k-means step.
+    Cells that lose every member keep their previous centroid.
+
+    Deliberately NOT the driver-gated path: iterated float means are
+    not reproducible in portable SQL at the bit level, so the value
+    oracle stays on the sampled quantizer (``ivf_topk`` default) and
+    refinement ships behind this flag with a measured-recall test
+    (test_similarity) — better recall at equal n_probe, same
+    query-side dataflow. Output schema matches ``ivf_centroids``:
+    (cid, cv, cnorm)."""
+    spark = emb.sparkSession
+    cent = ivf_centroids(emb, n_cells, id_col, vec_col)
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("vnorm", _norm(F.col("v")))
+    for _ in range(int(iters)):
+        cent_rows = cent.collect()
+        cent_local = spark.createDataFrame(cent_rows, cent.schema)
+        assigned = ivf_assign(base, cent_local)
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("i", "x"))
+            .groupBy("cell", "i").agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+        prev = cent_local.select("cid", F.col("cv").alias("prev_cv"))
+        cent = (
+            prev.join(means, prev.cid == means.cell, "left")
+            .select(
+                "cid",
+                F.coalesce(F.col("cv"), F.col("prev_cv")).alias("cv"),
+            )
+            .withColumn("cnorm", _norm(F.col("cv")))
+        )
+    return cent
+
+
 def ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid (max cosine; ties → lowest cid) assignment as
     a NARROW per-row argmax: the centroid table (n_cells rows — a dim
@@ -175,11 +226,20 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
 def ivf_topk(emb: DataFrame, query_vecs: DataFrame, k: int = 10,
              n_cells: int = DEFAULT_CELLS, n_probe: int = DEFAULT_PROBE,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             qid_col: str = "query_id", qvec_col: str = "qvec") -> DataFrame:
+             qid_col: str = "query_id", qvec_col: str = "qvec",
+             refine_iters: int = 0) -> DataFrame:
     """IVF approximate cosine top-k: candidates = vectors assigned to
     the query's ``n_probe`` nearest cells; exact cosine re-score on
-    candidates only. Same output schema as cosine_topk/lsh_topk."""
-    cent = ivf_centroids(emb, n_cells, id_col, vec_col)
+    candidates only. Same output schema as cosine_topk/lsh_topk.
+    ``refine_iters>0`` swaps in Lloyd-refined centroids
+    (``ivf_centroids_refined``) — better recall at equal n_probe,
+    same dataflow; the SQL value oracle covers the default sampled
+    quantizer only."""
+    if refine_iters:
+        cent = ivf_centroids_refined(emb, n_cells, refine_iters,
+                                     id_col, vec_col)
+    else:
+        cent = ivf_centroids(emb, n_cells, id_col, vec_col)
     # one centroid scan, not two: collect the (tiny) centroid frame and
     # rebuild it as a local relation so the assignment literals AND the
     # probe broadcast reuse the same materialized rows instead of each
@@ -231,15 +291,21 @@ def ivf_topk(emb: DataFrame, query_vecs: DataFrame, k: int = 10,
 def ivf_persist(emb: DataFrame, out_dir: str,
                 n_cells: int = DEFAULT_CELLS,
                 id_col: str = "vec_id",
-                vec_col: str = "embedding") -> None:
+                vec_col: str = "embedding",
+                refine_iters: int = 0) -> None:
     """Ingest-time IVF layout: vectors written PARTITIONED BY cell
     (plus the centroid table) — the storage shape that makes probes
     prune files instead of scanning the corpus. At 10^12 vectors this
     is the difference between reading n_probe/n_cells of the data and
     reading all of it; the assignment itself is one broadcast
     cross-join pass (no shuffle of the vector table beyond the
-    partitioned write)."""
-    cent = ivf_centroids(emb, n_cells, id_col, vec_col)
+    partitioned write). ``refine_iters>0`` persists Lloyd-refined
+    centroids (no SQL value oracle — see ivf_centroids_refined)."""
+    if refine_iters:
+        cent = ivf_centroids_refined(emb, n_cells, refine_iters,
+                                     id_col, vec_col)
+    else:
+        cent = ivf_centroids(emb, n_cells, id_col, vec_col)
     # one centroid scan, not two: collect the (tiny) centroid frame and
     # rebuild it as a local relation so the assignment literals AND the
     # probe broadcast reuse the same materialized rows instead of each

@@ -146,6 +146,59 @@ def test_ivf_recall_on_clustered_vectors(spark):
     assert sum(recalls) / len(recalls) >= 0.8, f"mean recall {recalls}"
 
 
+def test_ivf_lloyd_refinement_improves_recall(spark):
+    """Lloyd-refined centroids (the refine_iters flag — deliberately
+    outside the SQL value gate) must not lose recall vs the sampled
+    quantizer at equal n_probe on clustered vectors, and must still
+    never mis-score a candidate (scoring is shared, only the
+    quantizer moves)."""
+    import numpy as np
+    import pandas as pd
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.normal(size=(8, 32))
+    rows = [
+        (i, [float(x) for x in centers[i % 8]
+             + rng.normal(scale=0.2, size=32)])
+        for i in range(240)
+    ]
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    qs = spark.createDataFrame(
+        pd.DataFrame(
+            [(f"c{j}", [float(x) for x in centers[j]]) for j in range(8)],
+            columns=["query_id", "qvec"],
+        )
+    )
+    k = 10
+    exact_scores, exact_sets = {}, {}
+    for r in cosine_topk(emb, qs, k=500).collect():
+        exact_scores[(r["query_id"], r["vec_id"])] = r["cosine_micro"]
+        if r["rank"] <= k:
+            exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def mean_recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+            assert exact_scores[(r["query_id"], r["vec_id"])] \
+                == r["cosine_micro"]
+        rs = [len(got.get(q, set()) & want) / len(want)
+              for q, want in exact_sets.items()]
+        return sum(rs) / len(rs)
+
+    base = mean_recall(ivf_topk(emb, qs, k=k, n_cells=8, n_probe=2))
+    refined = mean_recall(
+        ivf_topk(emb, qs, k=k, n_cells=8, n_probe=2, refine_iters=2)
+    )
+    assert refined >= base, f"refined {refined:.3f} < sampled {base:.3f}"
+
+
 def test_ivf_persisted_layout_matches_and_prunes(spark, emb, qs, tmp_path):
     """The persisted cell-partitioned layout must return exactly the
     in-memory ivf_topk answer, and its probe plan must carry dynamic
