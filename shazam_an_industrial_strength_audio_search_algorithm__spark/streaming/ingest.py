@@ -119,7 +119,12 @@ def stream_ingest(
 
 
 DEDUP_STATE_SCHEMA = T.StructType(
-    [T.StructField("seen_shas", T.ArrayType(T.StringType()))]
+    [
+        T.StructField("seen_shas", T.ArrayType(T.StringType())),
+        # per-sha last-seen processing time (ms) — the TTL/eviction
+        # clock; parallel to seen_shas
+        T.StructField("seen_ms", T.ArrayType(T.LongType())),
+    ]
 )
 
 DEDUP_OUT_SCHEMA = T.StructType(
@@ -136,6 +141,8 @@ def streaming_dedup_first_wins(
     n_shards: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ttl_ms: int | None = None,
+    max_entries_per_shard: int | None = None,
 ) -> DataFrame:
     """Custom STATEFUL streaming operator: exact dedup over an
     unbounded stream — emit a doc only the FIRST time its content
@@ -153,18 +160,45 @@ def streaming_dedup_first_wins(
     duplicates race (the batch twin ``dedup_exact`` instead keeps
     min(doc_id) deterministically). Across batches the state map wins,
     so replays of already-seen shas are stable.
+
+    State growth is BOUNDED when asked: by default every sha ever seen
+    stays in state forever (exact dedup, unbounded — raise
+    ``n_shards`` so each group's slice stays RAM-sized). ``ttl_ms``
+    evicts entries not seen for that long (refresh-on-sight: content
+    recurring faster than the TTL is always deduped; content dormant
+    longer may be re-emitted once — the standard bounded-staleness
+    trade). ``max_entries_per_shard`` hard-caps each shard's entry
+    count, evicting least-recently-seen first. Both bounds make the
+    guarantee "first wins within the retention window" instead of
+    "first wins ever" — the production shape for unbounded streams.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def fn(key, pdfs, state):
-        seen = set(state.get[0]) if state.exists else set()
+        now = int(state.getCurrentProcessingTimeMs())
+        if state.exists:
+            shas, stamps = state.get
+            seen = dict(zip(shas, stamps))
+        else:
+            seen = {}
+        # evict BEFORE scanning the batch: an entry already past its
+        # TTL must count as forgotten for this batch's rows, not get
+        # refreshed into immortality by the very row it should re-emit
+        if ttl_ms is not None:
+            cutoff = now - int(ttl_ms)
+            seen = {s: t for s, t in seen.items() if t >= cutoff}
         out = []
         for pdf in pdfs:
             for doc_id, sha in zip(pdf["doc_id"], pdf["content_sha"]):
                 if sha not in seen:
-                    seen.add(sha)
                     out.append((int(key[0]), int(doc_id), sha))
-        state.update((list(seen),))
+                seen[sha] = now  # refresh-on-sight
+        if (max_entries_per_shard is not None
+                and len(seen) > max_entries_per_shard):
+            kept = sorted(seen.items(), key=lambda kv: (-kv[1], kv[0]))
+            seen = dict(kept[:max_entries_per_shard])
+        state.update((list(seen.keys()),
+                      [int(t) for t in seen.values()]))
         import pandas as pd  # local import: runs on executors
 
         yield pd.DataFrame(out, columns=["shard", "doc_id", "content_sha"])

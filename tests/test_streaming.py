@@ -156,6 +156,66 @@ def test_streaming_dedup_first_wins_across_batches(spark, tmp_path):
     assert got2 == {3}  # cross-batch dup suppressed via restored state
 
 
+def test_streaming_dedup_ttl_bounds_state(spark, tmp_path):
+    """Bounded-state mode: entries unseen for ttl_ms are evicted, so a
+    dormant sha re-emits once after the window (first-wins WITHIN the
+    retention window), while entries recurring inside the TTL stay
+    deduped — and state no longer grows with every sha ever seen."""
+    import time
+
+    import pandas as pd
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.streaming.ingest import (
+        streaming_dedup_first_wins,
+    )
+
+    src = str(tmp_path / "tsrc")
+    ckpt = str(tmp_path / "tckpt")
+    out_dir = str(tmp_path / "tout")
+
+    def run(name):
+        import os
+
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            streaming_dedup_first_wins(stream, n_shards=2, ttl_ms=1500)
+            .writeStream
+            .foreachBatch(
+                lambda df, _bid: df.write.mode("append")
+                .parquet(f"{out_dir}/{name}")
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if not os.path.exists(f"{out_dir}/{name}"):
+            return set()
+        return {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out_dir}/{name}").collect()
+        }
+
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["alpha beta"]})
+    ).write.mode("append").parquet(src)
+    assert run("t1") == {0}
+
+    # immediate replay: still inside the TTL → suppressed
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["alpha beta"]})
+    ).write.mode("append").parquet(src)
+    assert run("t2") == set()
+
+    # dormant past the TTL → evicted → re-emitted once
+    time.sleep(2.5)
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2], "text": ["alpha beta"]})
+    ).write.mode("append").parquet(src)
+    assert run("t3") == {2}
+
+
 def test_stream_match_resumes_at_unprocessed_files(
     spark, corpus_df, queries_pdf, tmp_path
 ):
