@@ -58,7 +58,8 @@ def with_doc_id(corpus: DataFrame) -> DataFrame:
     return corpus.withColumn("doc_id", F.xxhash64(*KEY_COLS))
 
 
-def dedup_last_wins(corpus: DataFrame, strict: bool = True) -> DataFrame:
+def dedup_last_wins(corpus: DataFrame, strict: bool = True,
+                    assume_unique: bool = False) -> DataFrame:
     """Duplicate (repo,path,commit) keys: last-writer-wins — the dict
     semantics of the reference's ``wav.scp`` parse (``Hashing.py:30``,
     SURVEY §2.1 S1). "Last" is deterministic ONLY when a monotonic
@@ -75,9 +76,18 @@ def dedup_last_wins(corpus: DataFrame, strict: bool = True) -> DataFrame:
 
     ``strict=False`` restores the pre-round-3 fallback: pick ONE row
     per key via ``monotonically_increasing_id`` — fine for
-    dedup-to-single, NOT a stable last-writer (layout-dependent)."""
+    dedup-to-single, NOT a stable last-writer (layout-dependent).
+
+    ``assume_unique=True`` skips the strict-mode uniqueness probe
+    entirely (pure pass-through) — for callers that ALREADY
+    deduplicated by key (``stream_ingest`` dedupes every micro-batch
+    before ``apply_updates``; paying a second groupBy/count probe per
+    batch buys nothing). The trust is the caller's: a violated
+    promise yields duplicate postings, not an error."""
     from pyspark.sql import Window
 
+    if assume_unique and "ingest_seq" not in corpus.columns:
+        return corpus
     if "ingest_seq" in corpus.columns:
         order = F.col("ingest_seq").desc()
     elif strict:

@@ -84,6 +84,7 @@ def apply_updates(
     delete_keys: DataFrame | None = None,
     resume: bool = False,
     mode: str = "rebuild",
+    assume_unique: bool = False,
 ) -> UpdateReport:
     """MERGE-equivalent maintenance producing snapshot v+1.
 
@@ -136,7 +137,12 @@ def apply_updates(
                 with_doc_id(delete_keys.select(*KEY_COLS)).select("doc_id")
             )
         if add_corpus is not None:
-            add_corpus = with_doc_id(dedup_last_wins(add_corpus))
+            # assume_unique: trusted pre-deduped batches (streaming
+            # ingest dedupes per micro-batch) skip the per-batch
+            # uniqueness probe job (round-3 advice)
+            add_corpus = with_doc_id(
+                dedup_last_wins(add_corpus, assume_unique=assume_unique)
+            )
             # overwrite-by-key: any incoming doc_id that already exists
             removed_parts.append(
                 add_corpus.select("doc_id").join(

@@ -395,6 +395,23 @@ def lsh_expected_recall(cos_sim: float,
     )
 
 
+def probe_masks(n_planes: int, probe_flips: int) -> list[int]:
+    """All nonzero XOR masks with popcount ≤ ``probe_flips`` — the
+    exact multi-probe neighborhood ``lsh_expected_recall`` models
+    (P = Σ_{i≤flips} C(n,i) p^(n-i) (1-p)^i), so measured recall and
+    the analytic bound stay comparable at ANY flip count (round-3
+    advice: flips>1 silently under-probed vs the formula). Mask count
+    is Σ_{i=1..flips} C(n,i) — keep flips small (≤2-3); the s-curve
+    says diminishing returns beyond that anyway."""
+    import itertools
+
+    masks: list[int] = []
+    for r in range(1, int(probe_flips) + 1):
+        for combo in itertools.combinations(range(int(n_planes)), r):
+            masks.append(sum(1 << i for i in combo))
+    return masks
+
+
 def lsh_persist(emb: DataFrame, out_dir: str,
                 n_planes: int = DEFAULT_PLANES, seed: int = 13,
                 id_col: str = "vec_id",
@@ -456,11 +473,10 @@ def lsh_topk_persisted(spark, index_dir: str, query_vecs: DataFrame,
     ).withColumn("qnorm", _norm(F.col("q"))).withColumn(
         "qbucket", _bucket_expr(F.col("q"), planes)
     )
-    probes = [F.col("qbucket")]
-    if probe_flips >= 1:
-        probes += [
-            F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
-        ]
+    probes = [F.col("qbucket")] + [
+        F.col("qbucket").bitwiseXOR(F.lit(m))
+        for m in probe_masks(n_planes, probe_flips)
+    ]
     qs = qs.withColumn("probe", F.explode(F.array(*probes)))
 
     vectors = spark.read.parquet(f"{index_dir}/vectors")
@@ -584,11 +600,12 @@ def duckdb_lsh_topk_sql(dim: int, k: int = 10,
         f"(CASE WHEN {dot_lit('v', p)} > 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     )
+    masks = probe_masks(n_planes, probe_flips)
     flips = (
-        f"list_transform(range(0, {n_planes}), "
-        f"i -> CAST(xor(CAST(qbucket AS BIGINT), (1::BIGINT << i)) AS INT))"
-        if probe_flips >= 1
-        else "[]"
+        "list_transform([" + ", ".join(str(m) for m in masks) + "], "
+        "m -> CAST(xor(CAST(qbucket AS BIGINT), CAST(m AS BIGINT)) AS INT))"
+        if masks
+        else "CAST([] AS INT[])"
     )
     return f"""
 WITH base AS (
@@ -660,12 +677,13 @@ def lsh_topk(emb: DataFrame, query_vecs: DataFrame, k: int = 10,
     ).withColumn("qnorm", _norm(F.col("q"))).withColumn(
         "qbucket", _bucket_expr(F.col("q"), planes)
     )
-    # multi-probe: the query's bucket + all single-bit flips
-    probes = [F.col("qbucket")]
-    if probe_flips >= 1:
-        probes += [
-            F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
-        ]
+    # multi-probe: the query's bucket + every bucket within
+    # probe_flips bit flips (popcount-bounded masks — matches
+    # lsh_expected_recall's neighborhood exactly)
+    probes = [F.col("qbucket")] + [
+        F.col("qbucket").bitwiseXOR(F.lit(m))
+        for m in probe_masks(n_planes, probe_flips)
+    ]
     qs = qs.withColumn("probe", F.explode(F.array(*probes)))
 
     scored = (

@@ -105,7 +105,10 @@ def stream_ingest(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        apply_updates(spark, index_dir, add_corpus=deduped, mode=mode)
+        # assume_unique: the window above just deduped by key — skip
+        # apply_updates' per-batch uniqueness probe job
+        apply_updates(spark, index_dir, add_corpus=deduped, mode=mode,
+                      assume_unique=True)
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact(spark, index_dir)
 
@@ -177,7 +180,16 @@ def streaming_dedup_first_wins(
     def fn(key, pdfs, state):
         now = int(state.getCurrentProcessingTimeMs())
         if state.exists:
-            shas, stamps = state.get
+            row = state.get
+            shas = row[0] or []
+            # checkpoints written before seen_ms existed carry a
+            # one-field state row — treat every legacy sha as
+            # last-seen "now" so an upgraded pipeline restarts from
+            # its old checkpoint instead of crashing on unpack
+            stamps = (
+                row[1] if len(row) > 1 and row[1] is not None
+                else [now] * len(shas)
+            )
             seen = dict(zip(shas, stamps))
         else:
             seen = {}

@@ -100,6 +100,16 @@ def test_last_wins_strict_default_is_deterministic(spark):
     rows = dedup_last_wins(seq).collect()
     assert len(rows) == 1 and rows[0]["content"] == "new"
 
+    # assume_unique: pure pass-through, NO uniqueness probe job — the
+    # trusted-caller fast path (stream_ingest pre-dedupes each batch).
+    # Even duplicate keys sail through (the trust is the caller's).
+    assert dedup_last_wins(uniq, assume_unique=True) is uniq
+    assert dedup_last_wins(dup, assume_unique=True).count() == 2
+    # ingest_seq still wins over assume_unique (deterministic anyway,
+    # and the caller's promise is about MISSING order, not present)
+    rows = dedup_last_wins(seq, assume_unique=True).collect()
+    assert len(rows) == 1 and rows[0]["content"] == "new"
+
 
 def test_ngram_jaccard_finds_planted_pairs(spark, dup_df):
     pairs = {

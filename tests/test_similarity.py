@@ -34,11 +34,15 @@ def test_exact_self_query_is_rank1(spark, emb, qs):
         assert r["cosine_micro"] == 1_000_000
 
 
-def test_lsh_recall_on_clustered_vectors(spark):
+@pytest.mark.parametrize("flips", [1, 2])
+def test_lsh_recall_on_clustered_vectors(spark, flips):
     """Recall is only meaningful where near neighbors exist: the
     driver's embeddings are uniform-random (top-10 cosines ≈ 0.3 —
     nothing is 'near'), so recall is measured on clustered vectors.
-    Multi-probe sign-LSH must recover ≥ 80% of the exact top-10."""
+    Multi-probe sign-LSH must recover ≥ 80% of the exact top-10 —
+    at flips=1 AND flips=2, each against ITS analytic curve (the
+    round-3 advice: implementation and lsh_expected_recall must agree
+    at every flip count, not just 1)."""
     import numpy as np
     import pandas as pd
 
@@ -70,9 +74,9 @@ def test_lsh_recall_on_clustered_vectors(spark):
         # the analytic candidate probability for THIS true neighbor's
         # cosine — the bound the measured recall is held against
         pair_probs.append(lsh_expected_recall(
-            r["cosine_micro"] / 1e6, n_planes=10, probe_flips=1
+            r["cosine_micro"] / 1e6, n_planes=10, probe_flips=flips
         ))
-    for r in lsh_topk(emb, qs, k=k, n_planes=10, probe_flips=1).collect():
+    for r in lsh_topk(emb, qs, k=k, n_planes=10, probe_flips=flips).collect():
         approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
     recalls = [
         len(approx_sets.get(q, set()) & want) / len(want)
@@ -87,6 +91,24 @@ def test_lsh_recall_on_clustered_vectors(spark):
     assert measured >= expected - 0.15, (
         f"measured {measured:.3f} vs analytic {expected:.3f}"
     )
+
+
+def test_probe_masks_cover_hamming_ball():
+    """probe_masks(n, f) = every nonzero mask with popcount ≤ f —
+    exactly the neighborhood lsh_expected_recall integrates over."""
+    from math import comb
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        probe_masks,
+    )
+
+    for n, f in [(10, 1), (10, 2), (12, 3)]:
+        masks = probe_masks(n, f)
+        assert len(masks) == sum(comb(n, i) for i in range(1, f + 1))
+        assert len(set(masks)) == len(masks)
+        assert all(1 <= bin(m).count("1") <= f and m < (1 << n)
+                   for m in masks)
+    assert probe_masks(8, 0) == []
 
 
 def test_lsh_scores_are_exact_on_candidates(spark, emb, qs):
