@@ -1847,6 +1847,73 @@ FROM f
 """
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, value-gated: synthesize genuine WAV (PCM16)
+    / PPM (P6) containers per doc (plus opaque ``bin`` payloads and
+    deliberately truncated corrupt ones), parse them with the pure-
+    numpy decoders, and emit per-media decoded-value aggregates +
+    quarantine statuses. The oracle recomputes every decoded sample
+    stream from the generator formulas over ``generate_series`` — so
+    the gate proves the PARSERS reproduce the synthesized signal
+    exactly, and that corrupt/unsupported routing matches the spec.
+    ↔ the reference's ``read_audio`` + decode-error skip
+    (``_helper_basics_.py:62-113``, ``Matching.py:113-117``)."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.multimodal import (
+        decode_stats,
+        synth_real_media,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_stats(synth_real_media(docs))
+
+
+Q_MEDIA_DECODE_SQL = """
+WITH base AS (
+  SELECT doc_id, doc_id % 3 AS k,
+         (doc_id % 13 = 5 AND doc_id % 3 <> 2) AS corrupt
+  FROM documents
+),
+wav AS (
+  SELECT b.doc_id AS media_id, 'wav' AS fmt, 'ok' AS status,
+         CAST(200 + b.doc_id % 57 AS BIGINT) AS n_units,
+         CAST(sum(((b.doc_id * 31 + g.i * 17 + 7) % 65536) - 32768)
+              AS BIGINT) AS val_sum,
+         CAST(min(((b.doc_id * 31 + g.i * 17 + 7) % 65536) - 32768)
+              AS BIGINT) AS val_min,
+         CAST(max(((b.doc_id * 31 + g.i * 17 + 7) % 65536) - 32768)
+              AS BIGINT) AS val_max
+  FROM base b, LATERAL (
+    SELECT unnest(range(200 + b.doc_id % 57)) AS i
+  ) g
+  WHERE b.k = 0 AND NOT b.corrupt
+  GROUP BY b.doc_id
+),
+ppm AS (
+  SELECT b.doc_id AS media_id, 'ppm' AS fmt, 'ok' AS status,
+         CAST((8 + b.doc_id % 9) * (6 + b.doc_id % 7) * 3 AS BIGINT)
+           AS n_units,
+         CAST(sum((b.doc_id * 7 + g.i * 13) % 256) AS BIGINT) AS val_sum,
+         CAST(min((b.doc_id * 7 + g.i * 13) % 256) AS BIGINT) AS val_min,
+         CAST(max((b.doc_id * 7 + g.i * 13) % 256) AS BIGINT) AS val_max
+  FROM base b, LATERAL (
+    SELECT unnest(range((8 + b.doc_id % 9) * (6 + b.doc_id % 7) * 3)) AS i
+  ) g
+  WHERE b.k = 1 AND NOT b.corrupt
+  GROUP BY b.doc_id
+),
+quarantined AS (
+  SELECT doc_id AS media_id, 'none' AS fmt,
+         CASE WHEN corrupt THEN 'corrupt' ELSE 'unsupported' END AS status,
+         CAST(-1 AS BIGINT) AS n_units, CAST(-1 AS BIGINT) AS val_sum,
+         CAST(-1 AS BIGINT) AS val_min, CAST(-1 AS BIGINT) AS val_max
+  FROM base WHERE corrupt OR k = 2
+)
+SELECT * FROM wav
+UNION ALL SELECT * FROM ppm
+UNION ALL SELECT * FROM quarantined
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1906,6 +1973,7 @@ QUERIES: dict[str, callable] = {
     # multimodal plumbing
     "media_meta": q_media_meta,
     "media_frames": q_media_frames,
+    "media_decode": q_media_decode,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1959,5 +2027,6 @@ ORACLE_SQL: dict[str, str] = {
     "ann_lsh_disk": _ann_lsh_sql(),  # one oracle, two physical plans
     "media_meta": Q_MEDIA_META_SQL,
     "media_frames": Q_MEDIA_FRAMES_SQL,
+    "media_decode": Q_MEDIA_DECODE_SQL,
 }
 ORACLE_SQL.update(_text_sql())

@@ -1,22 +1,28 @@
-"""Multimodal binary plumbing: metadata extraction is real (sha256 /
-length / magic), feature extraction and frame sampling exercise the
-Arrow-batch dataflow with the documented deterministic fake decode;
-the honest decode stub raises NotImplementedError."""
+"""Multimodal binary plumbing + REAL decode: metadata extraction is
+real (sha256 / length / magic); WAV (RIFF PCM16) and PPM (P6) parse
+for real with pure numpy; corrupt payloads quarantine instead of
+crashing (↔ ``Matching.py:113-117``); only recognized compressed
+formats keep the honest NotImplementedError stub."""
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.multimodal import (
     FEATURE_DIM,
     decode_media,
+    decode_stats,
     extract_features,
     extract_meta,
     frame_sample,
     synth_media,
+    synth_ppm_bytes,
+    synth_real_media,
+    synth_wav_bytes,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -28,6 +34,14 @@ def media(spark):
         "doc_id", "text"
     ).limit(60)
     return synth_media(docs).cache()
+
+
+@pytest.fixture(scope="module")
+def real_media(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(90)
+    return synth_real_media(docs).cache()
 
 
 def test_meta_is_real(spark, media):
@@ -43,15 +57,154 @@ def test_meta_is_real(spark, media):
         assert m["magic"][:3] == m["kind"]
 
 
+# ---------------------------------------------------------------------------
+# real WAV / PPM parsers
+# ---------------------------------------------------------------------------
+def test_wav_roundtrip_decodes_exact_samples():
+    for doc_id in (0, 3, 42, 333):
+        payload = synth_wav_bytes(doc_id)
+        values, meta = decode_media(payload)
+        assert meta["fmt"] == "wav"
+        assert meta["sample_rate"] == 8000
+        assert meta["channels"] == 1 and meta["bits"] == 16
+        n = 200 + doc_id % 57
+        i = np.arange(n, dtype=np.int64)
+        want = (doc_id * 31 + i * 17 + 7) % 65536 - 32768
+        assert values.shape == (n,)
+        assert (values == want).all()
+
+
+def test_ppm_roundtrip_decodes_exact_raster():
+    for doc_id in (1, 4, 100, 499):
+        payload = synth_ppm_bytes(doc_id)
+        values, meta = decode_media(payload)
+        assert meta["fmt"] == "ppm"
+        w, h = 8 + doc_id % 9, 6 + doc_id % 7
+        assert (meta["width"], meta["height"]) == (w, h)
+        i = np.arange(w * h * 3, dtype=np.int64)
+        assert (values == (doc_id * 7 + i * 13) % 256).all()
+
+
+def test_ppm_header_comments_and_whitespace():
+    """A P6 written by another tool: comment lines and spread-out
+    whitespace in the header must parse identically."""
+    base = synth_ppm_bytes(10)
+    values0, meta0 = decode_media(base)
+    raster = base.split(b"255\n", 1)[1]
+    w, h = meta0["width"], meta0["height"]
+    alt = (f"P6 # created elsewhere\n# {w}x{h} raster\n  {w}\t{h}\n"
+           f"# maxval next\n255\n").encode() + raster
+    values, meta = decode_media(alt)
+    assert (values == values0).all()
+    assert (meta["width"], meta["height"]) == (w, h)
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"RIFF\x00\x00",                       # truncated before WAVE
+        synth_wav_bytes(0)[:9],                # the corrupt fixture
+        synth_wav_bytes(0)[:-1],               # data chunk short 1 byte
+        b"RIFF" + (4).to_bytes(4, "little") + b"WAVE",  # no chunks
+        b"P6\n8",                              # truncated ppm header
+        synth_ppm_bytes(1)[:-1],               # raster short 1 byte
+        b"P6\n8 6\n70000\n" + b"\x00" * 144,   # maxval out of range
+        b"total garbage",
+    ],
+)
+def test_corrupt_payloads_raise_valueerror(payload):
+    with pytest.raises(ValueError):
+        decode_media(payload)
+
+
+def test_decode_stub_is_honest_for_compressed_only():
+    """mp3/jpeg/png/bin: recognized, not decodable here — the stub
+    survives EXACTLY where a codec library is genuinely required."""
+    for payload in (b"ID3\x04rest", b"\xff\xd8\xff\xe0jfif",
+                    b"\x89PNG\r\n\x1a\nrest", b"BIN0opaque"):
+        with pytest.raises(NotImplementedError):
+            decode_media(payload)
+
+
+def test_wav_multichannel_and_word_alignment():
+    """Stereo PCM16 with an odd-sized LIST chunk before data: the
+    chunk walker must word-align and the frame check must accept
+    whole stereo frames."""
+    samples = np.arange(-6, 6, dtype="<i2")  # 6 stereo frames
+    data = samples.tobytes()
+    chunks = (
+        b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"  # pad byte
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (44100).to_bytes(4, "little") + (176400).to_bytes(4, "little")
+        + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    payload = b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+    values, meta = decode_media(payload)
+    assert meta["channels"] == 2 and meta["sample_rate"] == 44100
+    assert (values == np.arange(-6, 6)).all()
+
+
+# ---------------------------------------------------------------------------
+# the Spark dataflow over real payloads
+# ---------------------------------------------------------------------------
+def test_decode_stats_statuses_and_values(spark, real_media):
+    rows = {r["media_id"]: r for r in decode_stats(real_media).collect()}
+    assert len(rows) == 90
+    for mid, r in rows.items():
+        corrupt = mid % 13 == 5 and mid % 3 != 2
+        if corrupt:
+            assert r["status"] == "corrupt" and r["fmt"] == "none"
+            assert r["n_units"] == r["val_sum"] == -1
+        elif mid % 3 == 2:
+            assert r["status"] == "unsupported" and r["fmt"] == "none"
+        elif mid % 3 == 0:
+            assert r["status"] == "ok" and r["fmt"] == "wav"
+            n = 200 + mid % 57
+            i = np.arange(n, dtype=np.int64)
+            want = (mid * 31 + i * 17 + 7) % 65536 - 32768
+            assert r["n_units"] == n
+            assert r["val_sum"] == int(want.sum())
+            assert r["val_min"] == int(want.min())
+            assert r["val_max"] == int(want.max())
+        else:
+            assert r["status"] == "ok" and r["fmt"] == "ppm"
+            assert r["n_units"] == (8 + mid % 9) * (6 + mid % 7) * 3
+
+
+def test_feature_extraction_real_fake_and_quarantine(spark, real_media):
+    """WAV/PPM payloads → REAL features of the decoded samples;
+    ``bin`` payloads → the deterministic fake; corrupt → NULL."""
+    feats = {r["media_id"]: r["feature"]
+             for r in extract_features(real_media).collect()}
+    assert len(feats) == 90
+    for mid, f in feats.items():
+        corrupt = mid % 13 == 5 and mid % 3 != 2
+        if corrupt:
+            assert f is None
+            continue
+        assert len(f) == FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in f)
+        if mid % 3 == 0:  # wav: check one real band value end-to-end
+            n = 200 + mid % 57
+            i = np.arange(n, dtype=np.int64)
+            want = (mid * 31 + i * 17 + 7) % 65536 - 32768
+            chunk = np.array_split(want, FEATURE_DIM)[0]
+            assert f[0] == pytest.approx(
+                round(float(np.abs(chunk).mean()) / 32768.0, 6), abs=1e-9
+            )
+    again = {r["media_id"]: r["feature"]
+             for r in extract_features(real_media).collect()}
+    assert again == feats  # deterministic
+
+
 def test_feature_extraction_shape_and_determinism(spark, media):
+    """synth_media's text payloads are UNKNOWN bytes → NULL feature
+    (quarantine), the honest behavior since real decode landed."""
     feats = extract_features(media).collect()
     assert len(feats) == 60
-    for r in feats:
-        assert len(r["feature"]) == FEATURE_DIM
-        assert all(0.0 <= x <= 1.0 for x in r["feature"])
-    again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
-    for r in feats:
-        assert again[r["media_id"]] == r["feature"]  # deterministic
+    assert all(r["feature"] is None for r in feats)
 
 
 def test_frame_sampling(spark, media):
@@ -63,8 +216,3 @@ def test_frame_sampling(spark, media):
     for mid, idxs in per_doc.items():
         assert sorted(idxs) == list(range(len(idxs)))  # dense 0..n-1
         assert len(idxs) <= 5
-
-
-def test_decode_stub_is_honest():
-    with pytest.raises(NotImplementedError):
-        decode_media(b"xxx", "img")
