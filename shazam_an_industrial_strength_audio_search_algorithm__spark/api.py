@@ -51,6 +51,57 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _INDEX_CACHE: dict[str, InvertedIndex] = {}
 _SEG_CACHE: dict[str, str] = {}
 
+# ---- cache hygiene (round-4 verdict item 5) -------------------------
+# Composed queries persist an intermediate (the WAND/BM25 top-k feeds
+# both the candidate gate and the final join — without an
+# InMemoryRelation Spark executes the coarse subtree twice). The
+# returned DataFrame is LAZY, so the cache must outlive the function
+# (the driver's action happens later) — it is therefore TRACKED and
+# released at the next composed query's entry, via release_caches(),
+# or at interpreter exit; at most one generation of tracked caches is
+# ever live. Temp layout dirs (segment index / IVF / LSH / stream)
+# are likewise registered and removed at exit.
+_TRACKED_PERSISTS: list[DataFrame] = []
+_TMP_DIRS: list[str] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    _TRACKED_PERSISTS.append(df.persist())
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every tracked intermediate from previously returned
+    composed queries. Called automatically on entry to each composed
+    query; callable any time after the caller's action completes."""
+    while _TRACKED_PERSISTS:
+        try:
+            _TRACKED_PERSISTS.pop().unpersist(blocking=False)
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+
+def _mk_tmpdir(prefix: str) -> str:
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    _TMP_DIRS.append(d)
+    return d
+
+
+def _cleanup_at_exit() -> None:
+    import shutil
+
+    release_caches()
+    while _TMP_DIRS:
+        shutil.rmtree(_TMP_DIRS.pop(), ignore_errors=True)
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_cleanup_at_exit)
+# ---------------------------------------------------------------------
+
 
 def docs_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     """Build (once per sf_dir per process) the v1 index over the
@@ -68,7 +119,6 @@ def docs_segment_index(spark: SparkSession, sf_dir: str):
     """Build (once per sf_dir per process) the PERSISTED segment index
     over ``documents`` — exposes the varint-block/bucket/snapshot path
     through the driver gate."""
-    import tempfile
 
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
         SegmentIndex,
@@ -84,7 +134,7 @@ def docs_segment_index(spark: SparkSession, sf_dir: str):
             F.col("text").alias("content"),
             F.col("doc_id"),
         )
-        d = tempfile.mkdtemp(prefix="driver_segidx_")
+        d = _mk_tmpdir("driver_segidx_")
         # store_positions=True: the SAME persisted index serves both
         # BM25 (bm25_segment) and positional verification
         # (positional_segment) — positions ride in a trailing payload
@@ -528,12 +578,10 @@ def q_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench tail). That is inherent to the semantics (the reference's
     ``_global`` file IS a total order) and fine at report cardinality:
     the input here is ≤ one row per matched QUERY, not per posting.
-    Feeding millions of matches through this would serialize; at that
-    scale compute the total order distributedly instead —
-    ``repartitionByRange(score desc).sortWithinPartitions`` + per-
-    partition row counts cumsummed into offsets (the standard
-    zip-with-global-index shape) — and keep this window form for the
-    report-sized output it models."""
+    For match volumes past one task's memory use
+    ``q_match_stats_dist`` — the same report through the distributed
+    ``global_rank`` operator (range shuffle + offset cumsum), one
+    oracle / two physical plans."""
     threshold_micro = 2_000_000
     w_q = Window.partitionBy("query_id").orderBy(
         F.col("score_micro").desc(), F.col("doc_id").asc()
@@ -557,6 +605,44 @@ def q_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_doc).cast("long").alias("rank_in_doc"),
         F.row_number().over(w_glob).cast("long").alias("rank_global"),
     )
+
+
+def q_match_stats_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`q_match_stats` through the DISTRIBUTED total-order path: the
+    unpartitioned ``rank_global`` window is replaced by the
+    ``global_rank`` operator (``operators/topk.py``) — range shuffle
+    on the order keys, narrow per-partition local ranks, tiny count
+    cumsum broadcast back as offsets. No task ever materializes the
+    whole report; the per-doc ``rank_in_doc`` window stays partitioned
+    by doc_id (already distributed). Same oracle as ``match_stats`` —
+    one truth, two physical plans."""
+    from .operators.topk import global_rank
+
+    threshold_micro = 2_000_000
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    top1 = (
+        _bm25_micro_scores(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w_q))
+        .filter((F.col("rn") == 1) & (F.col("score_micro") > threshold_micro))
+        .select("query_id", "doc_id", "score_micro")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("query_id").asc()
+    )
+    ranked_in_doc = top1.select(
+        "doc_id",
+        "query_id",
+        "score_micro",
+        F.row_number().over(w_doc).cast("long").alias("rank_in_doc"),
+    )
+    return global_rank(
+        ranked_in_doc,
+        [F.col("score_micro").desc(), F.col("query_id").asc()],
+        rank_col="rank_global",
+    ).select("doc_id", "query_id", "score_micro", "rank_in_doc",
+             "rank_global")
 
 
 Q_MATCH_STATS_SQL = f"""
@@ -690,10 +776,10 @@ def q_search_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         positional_verify,
     )
 
-    # persist: topk feeds BOTH the candidate gate and the final join —
-    # without it Spark executes the whole coarse-ranking subtree twice
-    # (no common-subplan dedup without an InMemoryRelation)
-    topk = q_bm25_topk(spark, sf_dir).persist()
+    # tracked persist: topk feeds BOTH the candidate gate and the
+    # final join (see release_caches); released at next composed query
+    release_caches()
+    topk = _persist_tracked(q_bm25_topk(spark, sf_dir))
     idx = docs_index(spark, sf_dir)
     cand_docs = topk.select("doc_id").distinct()
     postings = idx.doc_terms.join(F.broadcast(cand_docs), "doc_id",
@@ -720,10 +806,12 @@ def q_search_verified_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_term_positions,
     )
 
-    # persist: topk feeds BOTH the candidate gate and the final join
-    topk = q_wand_topk(spark, sf_dir).select(
+    # tracked persist: topk feeds BOTH the candidate gate and the
+    # final join (see release_caches); released at next composed query
+    release_caches()
+    topk = _persist_tracked(q_wand_topk(spark, sf_dir).select(
         "query_id", "rank", "doc_id", "score_micro"
-    ).persist()
+    ))
     idx = docs_segment_index(spark, sf_dir)
     qs = queries_df(spark)
     qtp = query_term_positions(qs)
@@ -829,7 +917,6 @@ def q_stream_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     streamed batches must hash-match the SAME DuckDB oracle as every
     batch engine (Q_BM25_TOPK_SQL): one oracle, FOUR physical plans
     (v1 in-memory, segment brute force, WAND, streamed WAND)."""
-    import tempfile
 
     from shazam_an_industrial_strength_audio_search_algorithm__spark.streaming.match import (
         read_match_results,
@@ -838,7 +925,7 @@ def q_stream_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if sf_dir not in _STREAM_MATCH_CACHE:
         docs_segment_index(spark, sf_dir)  # ensure the snapshot exists
-        base = tempfile.mkdtemp(prefix="driver_stream_")
+        base = _mk_tmpdir("driver_stream_")
         qdir, odir, cdir = (f"{base}/queries", f"{base}/out",
                             f"{base}/ckpt")
         qs = queries_df(spark)
@@ -1745,7 +1832,6 @@ def q_ann_ivf_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune vector partitions via dynamic partition pruning. Same value
     oracle as the in-memory ``ann_ivf`` — one oracle, two physical
     plans (scan-side pruning vs in-memory assignment)."""
-    import tempfile
 
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
         ivf_persist,
@@ -1753,7 +1839,7 @@ def q_ann_ivf_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     if sf_dir not in _IVF_DISK_CACHE:
-        d = tempfile.mkdtemp(prefix="driver_ivfidx_")
+        d = _mk_tmpdir("driver_ivfidx_")
         ivf_persist(load(spark, sf_dir, "embeddings"), d)
         _IVF_DISK_CACHE[sf_dir] = d
     return ivf_topk_persisted(
@@ -1770,7 +1856,6 @@ def q_ann_lsh_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of re-bucketing the corpus per batch. Same value oracle
     as the in-memory ``ann_lsh`` — one oracle, two physical plans
     (scan-side pruning vs on-the-fly bucketing)."""
-    import tempfile
 
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
         lsh_persist,
@@ -1778,7 +1863,7 @@ def q_ann_lsh_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     if sf_dir not in _LSH_DISK_CACHE:
-        d = tempfile.mkdtemp(prefix="driver_lshidx_")
+        d = _mk_tmpdir("driver_lshidx_")
         lsh_persist(load(spark, sf_dir, "embeddings"), d)
         _LSH_DISK_CACHE[sf_dir] = d
     return lsh_topk_persisted(
@@ -1930,6 +2015,7 @@ QUERIES: dict[str, callable] = {
     "match_compat": q_match_compat,
     "match_classed": q_match_classed,
     "match_stats": q_match_stats,
+    "match_stats_dist": q_match_stats_dist,
     "db2qry": q_db2qry,
     "phrase_match": q_phrase_match,
     "positional_verify": q_positional_verify,
@@ -1991,6 +2077,9 @@ ORACLE_SQL: dict[str, str] = {
     "match_compat": Q_MATCH_COMPAT_SQL,
     "match_classed": Q_MATCH_CLASSED_SQL,
     "match_stats": Q_MATCH_STATS_SQL,
+    # distributed global_rank (range shuffle + offset cumsum) vs the
+    # same truth: one oracle, two physical plans
+    "match_stats_dist": Q_MATCH_STATS_SQL,
     "db2qry": Q_DB2QRY_SQL,
     "phrase_match": Q_PHRASE_MATCH_SQL,
     "positional_verify": Q_POSITIONAL_SQL,

@@ -267,6 +267,75 @@ def _read_current(index_dir: str) -> int:
         return int(f.read().strip())
 
 
+def _snapshot_versions(index_dir: str) -> list[int]:
+    sdir = f"{index_dir}/snapshots"
+    if not os.path.isdir(sdir):
+        return []
+    return sorted(
+        int(n[1:-5]) for n in os.listdir(sdir)
+        if n.startswith("v") and n.endswith(".json")
+    )
+
+
+def _next_commit_version(index_dir: str) -> int:
+    vs = [0] + _snapshot_versions(index_dir)
+    if os.path.exists(f"{index_dir}/CURRENT"):
+        vs.append(_read_current(index_dir))
+    return max(vs) + 1
+
+
+def _next_build_gen(index_dir: str) -> str:
+    """Name for a fresh REBUILD generation: past any committed
+    snapshot version AND past any crashed rebuild's staged dirs, so a
+    new rebuild never collides with either."""
+    seqs = [1] + _snapshot_versions(index_dir)
+    mdir = f"{index_dir}/manifests"
+    if os.path.isdir(mdir):
+        seqs += [
+            int(g[2:]) for g in os.listdir(mdir)
+            if g.startswith("rb") and g[2:].isdigit()
+        ]
+    if os.path.exists(f"{index_dir}/CURRENT"):
+        seqs.append(_read_current(index_dir))
+    return f"rb{max(seqs) + 1}"
+
+
+def _resumable_build_gen(index_dir: str) -> str | None:
+    """The newest build generation with staged params (phase A done or
+    in progress): an interrupted rebuild ``rbN`` wins over the initial
+    ``init``; None when nothing is staged."""
+    mdir = f"{index_dir}/manifests"
+    if not os.path.isdir(mdir):
+        return None
+    rbs = sorted(
+        (int(g[2:]) for g in os.listdir(mdir)
+         if g.startswith("rb") and g[2:].isdigit()
+         and os.path.exists(f"{mdir}/{g}/params.json")),
+        reverse=True,
+    )
+    if rbs:
+        return f"rb{rbs[0]}"
+    if os.path.exists(f"{mdir}/init/params.json"):
+        return "init"
+    return None
+
+
+def _committed_version_of_gen(index_dir: str, gen: str) -> int | None:
+    """Snapshot version (if any) whose base buckets reference this
+    generation's data — the idempotent-re-run guard's anchor."""
+    for v in reversed(_snapshot_versions(index_dir)):
+        try:
+            snap = json.load(open(f"{index_dir}/snapshots/v{v}.json"))
+        except (OSError, ValueError):
+            continue
+        if snap.get("gen") == gen or any(
+            str(b.get("doc_terms", "")).startswith(f"data/dt_{gen}/")
+            for b in snap.get("buckets", {}).values()
+        ):
+            return v
+    return None
+
+
 def _write_current(index_dir: str, version: int) -> None:
     tmp = f"{index_dir}/CURRENT.tmp"
     with open(tmp, "w") as f:
@@ -392,9 +461,17 @@ def build_buckets_batch(
         .collect()
     }
     term_df.unpersist()
-    stats = {
+    # a batch whose buckets hold NO postings (rebuild of a shrunken
+    # corpus) writes zero part files — schema inference over the bare
+    # dir would fail; such buckets commit honest all-zero manifests
+    seg_root = f"{index_dir}/data/seg_{gen}"
+    has_files = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(seg_root) for f in files
+    )
+    stats = {} if not has_files else {
         r["bucket"]: r
-        for r in spark.read.parquet(f"{index_dir}/data/seg_{gen}")
+        for r in spark.read.parquet(seg_root)
         .filter(F.col("bucket").isin(buckets))
         .groupBy("bucket")
         .agg(
@@ -472,20 +549,31 @@ def build_segment_index(
     Manifests written before this field existed fail verification and
     rebuild (conservative).
 
-    NOT atomic over a LIVE index: a fresh (resume=False) build into an
-    ``index_dir`` that already holds a committed snapshot clears that
-    generation's segment data and manifests up front (required — the
-    dynamic-partition seg write would otherwise keep stale buckets
-    that are empty in the new corpus), so a crash mid-rebuild or a
-    concurrent reader loses the old snapshot instead of being served
-    it. Rebuild a live index via ``apply_updates``/``compact`` (both
-    commit atomically via snapshot+CURRENT) or build into a fresh
-    ``index_dir`` and swap the path at the serving layer.
+    ATOMIC over a LIVE index (since round 4): a fresh (resume=False)
+    build into an ``index_dir`` that already holds a committed
+    snapshot stages everything into a NEW generation (``rbN`` dirs)
+    and commits via the same snapshot-then-CURRENT swap as updates —
+    a crash mid-rebuild leaves the old snapshot serving untouched, a
+    concurrent reader never sees a half-built index, and the old
+    generations remain addressable until ``vacuum``. ``resume=True``
+    resumes the newest staged generation (an interrupted rebuild wins
+    over the committed initial build); resuming a fully committed
+    build is an idempotent no-op that never rolls CURRENT back.
     """
     import time as _time
 
     timings: dict[str, float] = {}
-    gen = "init"
+    if resume:
+        gen = _resumable_build_gen(index_dir)
+        if gen is None:
+            gen = (
+                "init" if not os.path.exists(f"{index_dir}/CURRENT")
+                else _next_build_gen(index_dir)
+            )
+    elif os.path.exists(f"{index_dir}/CURRENT"):
+        gen = _next_build_gen(index_dir)  # atomic rebuild-over-live
+    else:
+        gen = "init"
     if id_col == "doc_id" and "doc_id" not in corpus.columns:
         corpus = with_doc_id(corpus)
     os.makedirs(f"{index_dir}/manifests/{gen}", exist_ok=True)
@@ -610,27 +698,33 @@ def build_segment_index(
     )
     version = None
     if done:
-        version = 1
-        # idempotent re-run guard: a resume re-run that rebuilt
-        # NOTHING (all buckets skipped, v1 snapshot already committed)
-        # must not re-commit — rewriting CURRENT back to 1 would
-        # silently roll back updates committed after the build. A run
-        # that actually (re)built buckets commits normally.
         already_current = None
         if os.path.exists(f"{index_dir}/CURRENT"):
             already_current = _read_current(index_dir)
-        if not built and already_current is not None \
-                and already_current >= version \
-                and os.path.exists(f"{index_dir}/snapshots/v{version}.json"):
+        committed = _committed_version_of_gen(index_dir, gen)
+        # idempotent re-run guard: a resume re-run that rebuilt
+        # NOTHING over an already-committed generation must not
+        # re-commit — rewriting CURRENT backward would silently roll
+        # back updates committed after the build. A run that actually
+        # (re)built buckets commits normally.
+        if not built and committed is not None \
+                and already_current is not None \
+                and already_current >= committed:
             return BuildReport(
                 built_buckets=built,
                 skipped_buckets=skipped,
                 phase_a_skipped=phase_a_done,
                 n_docs=params["n_docs"],
                 avgdl=avgdl,
-                snapshot_version=version,
+                snapshot_version=committed,
                 timings=timings,
             )
+        # a committed generation re-verified in place (verify_inputs
+        # rebuilds) keeps its version; a fresh generation commits past
+        # every existing snapshot AND the current pointer — so a
+        # rebuild racing a concurrent update can never clobber it
+        version = committed if committed is not None \
+            else _next_commit_version(index_dir)
         _atomic_write_json(
             f"{index_dir}/snapshots/v{version}.json",
             {
@@ -650,11 +744,17 @@ def build_segment_index(
                     }
                     for b in range(n_buckets)
                 },
-                "parent": None,
-                "operation": "initial_build",
+                "gen": gen,
+                "parent": (
+                    already_current if gen != "init" else None
+                ),
+                "operation": "initial_build" if gen == "init" else "rebuild",
             },
         )
-        _write_current(index_dir, version)
+        # snapshot first, pointer second (the atomic commit protocol);
+        # never move CURRENT backward
+        if already_current is None or version >= already_current:
+            _write_current(index_dir, version)
     return BuildReport(
         built_buckets=built,
         skipped_buckets=skipped,

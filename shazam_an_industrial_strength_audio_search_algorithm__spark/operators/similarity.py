@@ -415,7 +415,8 @@ def probe_masks(n_planes: int, probe_flips: int) -> list[int]:
 def lsh_persist(emb: DataFrame, out_dir: str,
                 n_planes: int = DEFAULT_PLANES, seed: int = 13,
                 id_col: str = "vec_id",
-                vec_col: str = "embedding") -> None:
+                vec_col: str = "embedding",
+                target_rows_per_file: int = 1_000_000) -> None:
     """Ingest-time sign-LSH layout: vectors written PARTITIONED BY
     their (seeded, deterministic) hyperplane bucket, plus a tiny meta
     table (dim / n_planes / seed) so probe time can regenerate the
@@ -427,7 +428,24 @@ def lsh_persist(emb: DataFrame, out_dir: str,
     story as ``ivf_persist`` and the segment index buckets. The
     bucket computation itself is one narrow projection (plane
     literals folded into the expression), so the only data movement
-    is the partitioned write."""
+    is the partitioned write.
+
+    Skew hardening (round-4 verdict item 4): real embedding corpora
+    have mega-buckets (near-duplicate clusters all land on one sign
+    pattern); ``repartition("bucket")`` alone sends each bucket to
+    exactly ONE writer task — a mega-bucket becomes one straggler
+    writing one giant file. The write key is therefore SALTED per
+    bucket: a tiny per-bucket count agg (≤ 2^n_planes rows,
+    deterministic — the bucket is a pure function of the seeded
+    planes, so the extra scan for the write job cannot drift) sizes
+    each bucket's writer fan-out to ``ceil(rows /
+    target_rows_per_file)``; hot buckets spread across that many
+    tasks, cold buckets keep one file, and ``maxRecordsPerFile``
+    bounds file size as belt-and-braces. Per-bucket row counts +
+    fan-out land in ``{out_dir}/bucket_stats`` — the skew metric a
+    100 TB operator monitors."""
+    import math
+
     first = emb.select(vec_col).first()
     if first is None:
         raise ValueError("lsh_persist: empty vector table")
@@ -438,14 +456,33 @@ def lsh_persist(emb: DataFrame, out_dir: str,
     ).withColumn("vnorm", _norm(F.col("v"))).withColumn(
         "bucket", _bucket_expr(F.col("v"), planes)
     )
-    # one shuffle by bucket so each bucket directory holds ONE file
-    # (2^n_planes buckets × input partitions would otherwise spray
-    # thousands of tiny files); hash partitioning sends each bucket to
-    # exactly one writer task
-    base.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(f"{out_dir}/vectors")
-    meta = emb.sparkSession.createDataFrame(
+    spark = emb.sparkSession
+    counts = base.groupBy("bucket").count().collect()  # ≤ 2^n_planes rows
+    factors = [
+        (int(r["bucket"]), int(r["count"]),
+         max(1, math.ceil(int(r["count"]) / target_rows_per_file)))
+        for r in counts
+    ]
+    fdf = spark.createDataFrame(
+        factors, "bucket long, n_rows long, n_writers int"
+    )
+    salted = (
+        base.join(F.broadcast(fdf.select("bucket", "n_writers")), "bucket")
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("vec_id")), F.col("n_writers")),
+        )
+        .repartition(F.col("bucket"), F.col("_salt"))
+        .drop("_salt", "n_writers")
+    )
+    (
+        salted.write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .partitionBy("bucket")
+        .parquet(f"{out_dir}/vectors")
+    )
+    fdf.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/bucket_stats")
+    meta = spark.createDataFrame(
         [(int(dim), int(n_planes), int(seed))],
         "dim int, n_planes int, seed int",
     )

@@ -97,17 +97,30 @@ def test_rerun_resume_build_keeps_current_pointer(spark, corpus_df, tmp_path):
     drop_index(d)
 
 
-def test_fresh_rebuild_clears_stale_bucket_partitions(spark, corpus_df,
-                                                      tmp_path):
+def test_fresh_rebuild_is_atomic_generation_swap(spark, corpus_df,
+                                                 tmp_path):
+    """Rebuild-over-live since round 4: a fresh build over a committed
+    index stages a NEW generation and commits snapshot+CURRENT — no
+    stale buckets leak into the new snapshot, AND the old snapshot
+    stays serveable throughout (version pinning)."""
     d = str(tmp_path / "idx")
     build_segment_index(spark, with_doc_id(corpus_df), d, n_buckets=4,
                         hot_df=8, block_size=16)
+    old_term = corpus_df.select(
+        F.explode(F.split("content", " ")).alias("t")).first()["t"]
+    assert SegmentIndex.open(spark, d).postings_for_terms(
+        [old_term]).count() > 0
     # old corpus has terms in every bucket; the new corpus is one doc
-    # with one term -> 3 of 4 buckets must come back EMPTY
+    # with one term -> 3 of 4 buckets must come back EMPTY in v2
     tiny = _mini_corpus(spark, [("r", "p", "c" * 40, "py", "lonetoken")])
-    build_segment_index(spark, tiny, d, n_buckets=4, hot_df=8, block_size=16)
+    rep = build_segment_index(spark, tiny, d, n_buckets=4, hot_df=8,
+                              block_size=16)
+    assert rep.snapshot_version == 2 and _read_current(d) == 2
+    snap = json.load(open(f"{d}/snapshots/v2.json"))
+    assert snap["operation"] == "rebuild" and snap["parent"] == 1
+    gen = snap["gen"]
     manifests = [
-        json.load(open(f"{d}/manifests/init/bucket_{b}.json"))
+        json.load(open(f"{d}/manifests/{gen}/bucket_{b}.json"))
         for b in range(4)
     ]
     assert sum(m["n_terms"] for m in manifests) == 1, (
@@ -115,10 +128,50 @@ def test_fresh_rebuild_clears_stale_bucket_partitions(spark, corpus_df,
     )
     idx = SegmentIndex.open(spark, d)
     assert idx.n_docs == 1
-    # a term that only existed in the OLD corpus must be gone
-    old_term = corpus_df.select(
-        F.explode(F.split("content", " ")).alias("t")).first()["t"]
+    # a term that only existed in the OLD corpus must be gone from v2
     assert idx.postings_for_terms([old_term]).count() == 0
+    # ... but v1 still serves the OLD corpus bit-identically
+    v1 = SegmentIndex.open(spark, d, version=1)
+    assert v1.postings_for_terms([old_term]).count() > 0
+    drop_index(d)
+
+
+def test_crash_mid_rebuild_leaves_old_snapshot_serving(spark, corpus_df,
+                                                       tmp_path):
+    """Kill-mid-rebuild: interrupt the rebuild after 2 of 4 buckets —
+    CURRENT must still point at v1 and v1 must answer queries exactly
+    as before; resuming the rebuild then commits v2 with the new
+    corpus. (The round-3 verdict's non-atomic window, closed.)"""
+    d = str(tmp_path / "idx")
+    build_segment_index(spark, with_doc_id(corpus_df), d, n_buckets=4,
+                        hot_df=8, block_size=16)
+    probe = corpus_df.select(
+        F.explode(F.split("content", " ")).alias("t")).first()["t"]
+    before = _topk_rows(spark, d, probe)
+    assert before
+
+    new_corpus = _mini_corpus(spark, [
+        ("r2", f"p{i}", "c" * 40, "py", f"rebuilt{i} freshtoken")
+        for i in range(5)
+    ])
+    # interrupted rebuild: only 2 of 4 buckets complete, then "crash"
+    r1 = build_segment_index(spark, new_corpus, d, n_buckets=4, hot_df=8,
+                             block_size=16, buckets=[0, 1])
+    assert r1.snapshot_version is None, "incomplete rebuild must not commit"
+    assert _read_current(d) == 1, "crash mid-rebuild moved CURRENT"
+    assert _topk_rows(spark, d, probe) == before, (
+        "old snapshot no longer serves identically mid-rebuild"
+    )
+
+    # resume completes the SAME staged generation and commits v2
+    r2 = build_segment_index(spark, new_corpus, d, n_buckets=4, hot_df=8,
+                             block_size=16, resume=True)
+    assert sorted(r2.skipped_buckets) == [0, 1]
+    assert sorted(r2.built_buckets) == [2, 3]
+    assert r2.snapshot_version == 2 and _read_current(d) == 2
+    assert _topk_rows(spark, d, "freshtoken")
+    # history: v1 pinned-open still serves the old corpus
+    assert _topk_rows(spark, d, probe, version=1) == before
     drop_index(d)
 
 

@@ -239,3 +239,62 @@ def test_emb_neardup_blocked_has_no_pair_explosion(spark):
     # grid groupBy = one exchange; two re-score equi-joins may add at
     # most one exchange each (AQE may instead broadcast them)
     assert count_shuffles(df) <= 5, audit(df)
+
+
+def test_match_stats_dist_has_no_unpartitioned_window(spark):
+    """The distributed report path (`q_match_stats_dist`) must not
+    contain a single-partition global Window — the total order comes
+    from the range-shuffle + offset-cumsum `global_rank` operator
+    (MapInPandas local ranks). Every Window node in the plan must
+    carry a non-empty partition spec."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark import api
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.plans.audit import (
+        plan_string,
+    )
+
+    def unpartitioned_windows(plan: str) -> int:
+        # a Window node's Arguments line is [functions], [partition
+        # spec], [order spec] — the partition list is OMITTED entirely
+        # when empty, so an unpartitioned window has ONE "], ["
+        # separator and a partitioned one has two
+        return sum(
+            line.count("], [") == 1
+            for line in plan.splitlines()
+            if "windowspecdefinition" in line and "Arguments:" in line
+        )
+
+    plan = plan_string(api.q_match_stats_dist(spark, SF))
+    assert "MapInPandas" in plan
+    assert unpartitioned_windows(plan) == 0, plan
+    # the single-partition form, by contrast, HAS one (the report
+    # window) — pins that the detector detects what it guards
+    base = plan_string(api.q_match_stats(spark, SF))
+    assert unpartitioned_windows(base) == 1, base
+
+
+def test_composed_queries_release_tracked_caches(spark):
+    """Cache hygiene (round-4): the composed two-phase queries persist
+    their top-k intermediate (it feeds two consumers of a LAZY result,
+    so it must outlive the fn) — but the cache is TRACKED: at most one
+    generation is live, the next composed query releases the previous
+    one, and release_caches() empties the set entirely."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark import api
+
+    jsc = spark.sparkContext._jsc  # noqa: SLF001
+    # warm-up: first call constructs the per-sf_dir index caches
+    # (deliberately long-lived, _INDEX_CACHE/_SEG_CACHE) — measure the
+    # tracked-persist churn AFTER that steady state is reached
+    api.q_search_verified(spark, SF).collect()
+    api.q_search_verified_segment(spark, SF).collect()
+    api.release_caches()
+    n0 = jsc.getPersistentRDDs().size()
+    api.q_search_verified(spark, SF).collect()
+    n1 = jsc.getPersistentRDDs().size()
+    assert n1 <= n0 + 1
+    # the next composed query releases the previous generation first
+    api.q_search_verified_segment(spark, SF).collect()
+    assert jsc.getPersistentRDDs().size() <= n0 + 1
+    api.release_caches()
+    assert jsc.getPersistentRDDs().size() <= n0
+    # temp layout dirs are registered for exit-time removal
+    assert any("driver_segidx_" in d for d in api._TMP_DIRS)

@@ -180,3 +180,40 @@ def test_per_query_class_thresholds(spark):
           for r in decide_compat(scores, queries, thr).collect()}
     assert oc["qs"]["matched_doc_id"] == 10
     assert oc["ql"]["matched_doc_id"] is None
+
+
+def test_global_rank_matches_window_and_handles_edges(spark):
+    """The distributed total-order operator (`global_rank`,
+    operators/topk.py) must agree with the unpartitioned-window truth
+    on a multi-partition input — including duplicate score groups
+    (tie-broken by id, the engine-wide contract) — and survive the
+    empty input."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.topk import (
+        global_rank,
+    )
+
+    n = 5_000
+    df = (
+        spark.range(n)
+        .withColumn("score", (F.col("id") % 97).cast("double"))
+        .repartition(16)
+    )
+    order = [F.col("score").desc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["rank_global"]
+        for r in global_rank(df, order, n_partitions=8).collect()
+    }
+    want = {
+        r["id"]: r["rg"]
+        for r in df.withColumn(
+            "rg", F.row_number().over(Window.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    assert got == want
+    # rank column name + type survive; empty input yields empty output
+    empty = global_rank(df.filter(F.lit(False)), order)
+    assert empty.schema["rank_global"].dataType.typeName() == "long"
+    assert empty.count() == 0

@@ -296,3 +296,53 @@ def test_zero_norm_vectors_score_zero_not_nan(spark):
     # near-dup paths: the zero vector pairs with nothing, no crash
     assert embedding_neardup_pairs(emb, threshold=0.5).count() == 1
     assert embedding_neardup_blocked(emb, threshold=0.5).count() == 1
+
+
+def test_lsh_persist_salts_mega_bucket_writes(spark, tmp_path):
+    """Skew hardening (round-4): a degenerate corpus where EVERY
+    vector lands in one sign bucket (positive multiples of one
+    direction) must not serialize on a single writer — the salted
+    write fans the mega-bucket across ceil(rows/target) writers,
+    maxRecordsPerFile bounds each file, bucket_stats records the skew,
+    and the persisted top-k still matches the in-memory kernel."""
+    import glob
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        lsh_persist,
+        lsh_topk,
+        lsh_topk_persisted,
+    )
+
+    dim, n = 8, 300
+    base_vec = [1.0, 0.5, -0.25, 2.0, -1.0, 0.75, 0.1, -0.6]
+    rows = [
+        (i, [x * (1.0 + i / n) for x in base_vec]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    d = str(tmp_path / "skewlsh")
+    lsh_persist(emb, d, n_planes=6, target_rows_per_file=50)
+
+    stats = spark.read.parquet(f"{d}/bucket_stats").collect()
+    assert len(stats) == 1, "all vectors must share one sign bucket"
+    assert stats[0]["n_rows"] == n
+    assert stats[0]["n_writers"] == 6  # ceil(300/50)
+    bdir = glob.glob(f"{d}/vectors/bucket=*")
+    assert len(bdir) == 1
+    files = glob.glob(f"{bdir[0]}/*.parquet")
+    assert len(files) >= 6, (
+        f"mega-bucket wrote {len(files)} files — salting did not fan out"
+    )
+
+    qs2 = emb.filter(F.col("vec_id") < 3).select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine_micro"])
+        for r in lsh_topk_persisted(spark, d, qs2, k=5).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine_micro"])
+        for r in lsh_topk(emb, qs2, k=5, n_planes=6).collect()
+    )
+    assert got == want
