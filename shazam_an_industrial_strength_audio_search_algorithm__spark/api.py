@@ -566,6 +566,53 @@ FROM qv LEFT JOIN agg USING (query_id) JOIN thr USING (query_id)
 """
 
 
+def q_match_classed_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classed decision through the PRUNED executor: block-max
+    WAND top-2 in integer micro mode supplies top1/second, the true
+    candidate count comes from a JVM-side count-distinct over the
+    segment posting decode (no scoring, no Python), and
+    ``per_query_thresholds`` + ``decide`` apply the reference's
+    short/long switch (``conf.py:173-175``). Must hash-match the SAME
+    DuckDB oracle as ``match_classed`` (Q_MATCH_CLASSED_SQL): one
+    oracle, two physical plans — so the classed "doc or Nil" record
+    is provably identical whether the engine scored every candidate
+    or pruned most of them."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.topk import (
+        decide,
+        per_query_thresholds,
+        query_terms,
+    )
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.wand import (
+        wand_topk,
+    )
+
+    idx = docs_segment_index(spark, sf_dir)
+    qdf = queries_df(spark)
+    topk = wand_topk(idx, qdf, k=2, micro=True).select(
+        "query_id", "rank", "doc_id",
+        F.col("score_micro").alias("score"),
+    )
+    qt = query_terms(qdf)
+    counts = (
+        idx.postings_for_query_terms(qt)
+        .join(F.broadcast(qt.select("term", "query_id")), "term")
+        .groupBy("query_id")
+        .agg(F.count_distinct("doc_id").alias("n_candidates"))
+    )
+    thr = per_query_thresholds(
+        qdf, short_threshold=2_000_000,
+        long_threshold=3_000_000, max_short_tokens=5,
+    )
+    out = decide(topk, qdf, thr, candidate_counts=counts)
+    return out.select(
+        "query_id", "matched_doc_id",
+        F.col("matched_score").cast("long").alias("matched_score_micro"),
+        "second_doc_id",
+        F.col("second_score").cast("long").alias("second_score_micro"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+    )
+
+
 def q_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GetStats report (SURVEY §2.1 S5, §2.5 W5,
     ``GetStats.py:55-81``): per matched doc, its matched queries
@@ -2014,6 +2061,7 @@ QUERIES: dict[str, callable] = {
     "match_or_nil": q_match_or_nil,
     "match_compat": q_match_compat,
     "match_classed": q_match_classed,
+    "match_classed_wand": q_match_classed_wand,
     "match_stats": q_match_stats,
     "match_stats_dist": q_match_stats_dist,
     "db2qry": q_db2qry,
@@ -2076,6 +2124,7 @@ ORACLE_SQL: dict[str, str] = {
     "match_or_nil": Q_MATCH_OR_NIL_SQL,
     "match_compat": Q_MATCH_COMPAT_SQL,
     "match_classed": Q_MATCH_CLASSED_SQL,
+    "match_classed_wand": Q_MATCH_CLASSED_SQL,
     "match_stats": Q_MATCH_STATS_SQL,
     # distributed global_rank (range shuffle + offset cumsum) vs the
     # same truth: one oracle, two physical plans

