@@ -151,6 +151,8 @@ def run_battery(spark, sf_dir: str) -> dict[str, float]:
     api.docs_segment_index(spark, sf_dir)
     api.q_ann_ivf_disk(spark, sf_dir)  # persists the IVF layout
     api.q_ann_lsh_disk(spark, sf_dir)  # persists the LSH layout
+    api.q_ann_ivf_delta(spark, sf_dir)  # + upserted delta twin layouts
+    api.q_ann_lsh_delta(spark, sf_dir)
     times["battery_setup"] = round(time.monotonic() - t0, 3)
     for name, fn in api.QUERIES.items():
         t0 = time.monotonic()

@@ -1918,6 +1918,124 @@ def q_ann_lsh_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_DELTA_CACHE: dict[str, str] = {}
+
+
+def q_ann_ivf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN through a persisted layout WITH PENDING UPSERTS: same
+    deterministic delta batch as ``ann_lsh_delta`` (``vec_id % 97``
+    re-added reversed, ``vec_id % 101`` deleted), assigned with the
+    FROZEN build-time centroid table and probed merge-on-read. The
+    oracle recomputes centroids from the ORIGINAL table but assigns
+    and queries the post-upsert logical set — value-checking both the
+    generation/tombstone supersession rule and the frozen-quantizer
+    maintenance contract."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        ivf_persist,
+        ivf_topk_persisted,
+        ivf_upsert,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_DELTA_CACHE:
+        d = _mk_tmpdir("driver_ivfdelta_")
+        ivf_persist(emb, d)
+        adds = emb.filter(F.col("vec_id") % 97 == 0).withColumn(
+            "embedding", F.reverse("embedding")
+        )
+        dels = (
+            emb.filter(
+                (F.col("vec_id") % 101 == 0) & (F.col("vec_id") % 97 != 0)
+            ).select("vec_id")
+        )
+        ivf_upsert(spark, d, add=adds, delete_ids=dels)
+        _IVF_DELTA_CACHE[sf_dir] = d
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("query_id"),
+        F.when(F.col("vec_id") % 97 == 0, F.reverse("embedding"))
+        .otherwise(F.col("embedding"))
+        .alias("qvec"),
+    )
+    return ivf_topk_persisted(spark, _IVF_DELTA_CACHE[sf_dir], qs, k=10)
+
+
+_DELTA_LOGICAL_SELECT = (
+    "SELECT vec_id,\n"
+    "         list_transform(\n"
+    "           CASE WHEN vec_id % 97 = 0 THEN list_reverse(embedding)\n"
+    "                ELSE embedding END,\n"
+    "           x -> CAST(x AS DOUBLE)) AS v\n"
+    "  FROM embeddings\n"
+    "  WHERE NOT (vec_id % 101 = 0 AND vec_id % 97 <> 0)"
+)
+
+
+def _ann_ivf_delta_sql() -> str:
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        duckdb_ivf_topk_sql,
+    )
+
+    return duckdb_ivf_topk_sql(
+        dim=64, k=10, logical_select=_DELTA_LOGICAL_SELECT
+    )
+
+
+_LSH_DELTA_CACHE: dict[str, str] = {}
+
+
+def q_ann_lsh_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN through a persisted layout WITH PENDING UPSERTS:
+    build the base layout, then ``lsh_upsert`` a deterministic delta
+    batch (every ``vec_id % 97 == 0`` re-added with its vector
+    reversed; every ``vec_id % 101 == 0`` not in the upsert set
+    deleted) and probe merge-on-read — delta generations +
+    tombstones resolved at scan time, base files untouched (reference
+    analog: ``Hashing_update.py:53-100`` overwrite-by-key, applied to
+    the vector store). The oracle recomputes the same LSH probe plan
+    over the post-upsert LOGICAL set expressed directly in SQL, so
+    the generation/tombstone supersession rule is value-checked
+    end-to-end, not just row-counted."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        lsh_persist,
+        lsh_topk_persisted,
+        lsh_upsert,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    if sf_dir not in _LSH_DELTA_CACHE:
+        d = _mk_tmpdir("driver_lshdelta_")
+        lsh_persist(emb, d)
+        adds = emb.filter(F.col("vec_id") % 97 == 0).withColumn(
+            "embedding", F.reverse("embedding")
+        )
+        dels = (
+            emb.filter(
+                (F.col("vec_id") % 101 == 0) & (F.col("vec_id") % 97 != 0)
+            ).select("vec_id")
+        )
+        lsh_upsert(spark, d, add=adds, delete_ids=dels)
+        _LSH_DELTA_CACHE[sf_dir] = d
+    # queries come from the post-upsert logical set (vec_id 0 is in
+    # the upsert set, so its query vector is the reversed one)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("query_id"),
+        F.when(F.col("vec_id") % 97 == 0, F.reverse("embedding"))
+        .otherwise(F.col("embedding"))
+        .alias("qvec"),
+    )
+    return lsh_topk_persisted(spark, _LSH_DELTA_CACHE[sf_dir], qs, k=10)
+
+
+def _ann_lsh_delta_sql() -> str:
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        duckdb_lsh_topk_sql,
+    )
+
+    return duckdb_lsh_topk_sql(
+        dim=64, k=10, base_select=_DELTA_LOGICAL_SELECT
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal battery (operators/multimodal.py)
 # ---------------------------------------------------------------------------
@@ -2104,6 +2222,8 @@ QUERIES: dict[str, callable] = {
     "ann_ivf": q_ann_ivf,
     "ann_ivf_disk": q_ann_ivf_disk,
     "ann_lsh_disk": q_ann_lsh_disk,
+    "ann_lsh_delta": q_ann_lsh_delta,
+    "ann_ivf_delta": q_ann_ivf_delta,
     # multimodal plumbing
     "media_meta": q_media_meta,
     "media_frames": q_media_frames,
@@ -2163,6 +2283,8 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf": _ann_ivf_sql(),
     "ann_ivf_disk": _ann_ivf_sql(),  # one oracle, two physical plans
     "ann_lsh_disk": _ann_lsh_sql(),  # one oracle, two physical plans
+    "ann_lsh_delta": _ann_lsh_delta_sql(),
+    "ann_ivf_delta": _ann_ivf_delta_sql(),
     "media_meta": Q_MEDIA_META_SQL,
     "media_frames": Q_MEDIA_FRAMES_SQL,
     "media_decode": Q_MEDIA_DECODE_SQL,

@@ -18,6 +18,8 @@ way: bucket id = coarse quantizer, same join/verify dataflow.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -330,7 +332,9 @@ def ivf_topk_persisted(spark, index_dir: str, query_vecs: DataFrame,
     PARTITION column, so dynamic partition pruning reads only the
     probed cells' files (asserted in test_plans). Values are identical
     to the in-memory ``ivf_topk`` — same centroids, same assignment,
-    same scoring."""
+    same scoring. On a layout with pending ``ivf_upsert`` batches the
+    scan resolves delta generations and tombstones first
+    (merge-on-read)."""
     cent = spark.read.parquet(f"{index_dir}/centroids")
     qs = query_vecs.select(
         F.col(qid_col).alias("query_id"), _as_double(F.col(qvec_col)).alias("q")
@@ -354,7 +358,7 @@ def ivf_topk_persisted(spark, index_dir: str, query_vecs: DataFrame,
         .select("query_id", "q", "qnorm", F.col("cid").alias("cell"))
     )
 
-    vectors = spark.read.parquet(f"{index_dir}/vectors")
+    vectors = _ivf_resolved_vectors(spark, index_dir)
     cand = vectors.join(F.broadcast(probes), "cell").withColumn(
         "cosine_micro",
         _cosine_micro_expr(F.col("v"), F.col("q"),
@@ -489,6 +493,215 @@ def lsh_persist(emb: DataFrame, out_dir: str,
     meta.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/meta")
 
 
+def _resolved_vectors(spark, index_dir: str, part_col: str) -> DataFrame:
+    """A vector layout's LOGICAL set: base layout + delta batches,
+    tombstone-superseded (merge-on-read — the same generation rule as
+    ``segments._resolve_layers``: a tombstone at gen G kills every
+    older generation of that vec_id; the add that travels WITH the
+    tombstone carries gen G itself and survives). With no deltas this
+    is exactly the base scan — zero overhead on a freshly-built or
+    compacted layout, and the partition column (``bucket`` for LSH,
+    ``cell`` for IVF) survives untouched either way so probe-time DPP
+    keeps working."""
+    import glob as _glob
+
+    base = spark.read.parquet(f"{index_dir}/vectors")
+    has_delta = bool(_glob.glob(f"{index_dir}/vectors_delta/{part_col}=*"))
+    has_tomb = bool(_glob.glob(f"{index_dir}/tombstones/*.parquet"))
+    if not (has_delta or has_tomb):
+        return base
+    vectors = base.withColumn("gen", F.lit(0).cast("int"))
+    if has_delta:
+        delta = spark.read.option("basePath", f"{index_dir}/vectors_delta")\
+            .parquet(f"{index_dir}/vectors_delta/{part_col}=*")
+        vectors = vectors.unionByName(
+            delta.select(part_col, "vec_id", "v", "vnorm", "gen"))
+    if has_tomb:
+        tmax = (
+            spark.read.parquet(f"{index_dir}/tombstones")
+            .groupBy("vec_id").agg(F.max("gen").alias("tomb_gen"))
+        )
+        vectors = (
+            vectors.join(F.broadcast(tmax), "vec_id", "left")
+            .filter(F.col("tomb_gen").isNull()
+                    | (F.col("gen") >= F.col("tomb_gen")))
+            .drop("tomb_gen")
+        )
+    return vectors.drop("gen")
+
+
+def _lsh_resolved_vectors(spark, index_dir: str) -> DataFrame:
+    return _resolved_vectors(spark, index_dir, "bucket")
+
+
+def _ivf_resolved_vectors(spark, index_dir: str) -> DataFrame:
+    return _resolved_vectors(spark, index_dir, "cell")
+
+
+def _tombstone_gen(spark, index_dir: str,
+                   add: DataFrame | None, delete_ids: DataFrame | None,
+                   id_col: str) -> int:
+    """Shared upsert bookkeeping for the vector layouts: compute the
+    next generation number and append one generation-stamped tombstone
+    batch covering every upserted AND deleted id (an add IS an upsert
+    — its tombstone supersedes older generations of the id while the
+    add row, carrying this gen itself, survives the ``>=`` filter in
+    ``_resolved_vectors``). Returns the generation assigned."""
+    import glob as _glob
+
+    if add is None and delete_ids is None:
+        raise ValueError("vector upsert: nothing to apply")
+    gen = 1
+    if _glob.glob(f"{index_dir}/tombstones/*.parquet"):
+        prev = spark.read.parquet(f"{index_dir}/tombstones")\
+            .agg(F.max("gen")).first()[0]
+        gen = int(prev or 0) + 1
+    tomb_parts = []
+    if delete_ids is not None:
+        tomb_parts.append(delete_ids.select(F.col(id_col).alias("vec_id")))
+    if add is not None:
+        tomb_parts.append(add.select(F.col(id_col).alias("vec_id")))
+    tomb = tomb_parts[0]
+    for t in tomb_parts[1:]:
+        tomb = tomb.unionByName(t)
+    tomb.distinct().withColumn("gen", F.lit(gen).cast("int"))\
+        .coalesce(1).write.mode("append")\
+        .parquet(f"{index_dir}/tombstones")
+    return gen
+
+
+def _swap_compacted(index_dir: str, staged_vectors: str,
+                    extra_swaps: list[tuple[str, str]] = []) -> None:
+    """Swap-then-drop commit for layout compaction: move the old base
+    aside and the staged base in BEFORE deleting anything, so a crash
+    at any single point leaves either the old or the new base fully
+    present on disk (vs delete-first, which loses the layout entirely
+    on a crash after the rmtree)."""
+    import shutil as _shutil
+
+    os.rename(f"{index_dir}/vectors", f"{index_dir}/vectors_old")
+    for src, dst in extra_swaps:
+        os.rename(f"{index_dir}/{dst}", f"{index_dir}/{dst}_old")
+    os.rename(staged_vectors, f"{index_dir}/vectors")
+    for src, dst in extra_swaps:
+        os.rename(src, f"{index_dir}/{dst}")
+    cleanup = ["vectors_old", "vectors_delta", "tombstones"]
+    cleanup += [f"{dst}_old" for _, dst in extra_swaps]
+    for sub in cleanup:
+        _shutil.rmtree(f"{index_dir}/{sub}", ignore_errors=True)
+
+
+def lsh_upsert(spark, index_dir: str,
+               add: DataFrame | None = None,
+               delete_ids: DataFrame | None = None,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> int:
+    """O(delta) maintenance for the persisted sign-LSH layout — the
+    vector-store twin of ``maintenance.apply_updates(mode="delta")``
+    (reference analog: ``Hashing_update.py:53-100`` overwrite-by-key):
+    added vectors land as a bucket-partitioned DELTA batch (bucketed
+    with the layout's stored seeded planes, so probe-time pruning
+    covers them identically), and every upserted/deleted id gets a
+    generation-stamped TOMBSTONE that supersedes older generations at
+    read time. Write cost tracks BATCH size, never layout size; the
+    base layout's files are never rewritten. Run ``lsh_compact``
+    periodically to fold deltas back into the base (the probe-side
+    overhead between compactions is one broadcast anti-join of the
+    delta-sized tombstone set + the delta scan).
+
+    Unlike the segment index there is no snapshot/CURRENT protocol
+    here: batches commit file-at-a-time, so concurrent probes may see
+    a torn batch (some files, not others). Returns the generation
+    number assigned to this batch."""
+    m = spark.read.parquet(f"{index_dir}/meta").first()
+    planes = hyperplanes(m["dim"], m["n_planes"], m["seed"])
+    gen = _tombstone_gen(spark, index_dir, add, delete_ids, id_col)
+    if add is not None:
+        batch = add.select(
+            F.col(id_col).alias("vec_id"),
+            _as_double(F.col(vec_col)).alias("v"),
+        ).withColumn("vnorm", _norm(F.col("v"))).withColumn(
+            "bucket", _bucket_expr(F.col("v"), planes)
+        ).withColumn("gen", F.lit(gen).cast("int"))
+        batch.write.mode("append").partitionBy("bucket")\
+            .parquet(f"{index_dir}/vectors_delta")
+    return gen
+
+
+def lsh_compact(spark, index_dir: str,
+                target_rows_per_file: int = 1_000_000) -> None:
+    """Fold delta batches + tombstones back into the base layout (the
+    vector-store twin of ``maintenance.compact()``): materialize the
+    resolved logical set, rewrite it through the same salted
+    bucket-partitioned writer as ``lsh_persist`` (bucket_stats
+    refreshed), then drop the delta/tombstone dirs. Requires no
+    concurrent probes (the base rewrite is not snapshot-isolated —
+    documented trade vs the segment index's CURRENT protocol)."""
+    import shutil as _shutil
+
+    resolved = _lsh_resolved_vectors(spark, index_dir)
+    m = spark.read.parquet(f"{index_dir}/meta").first()
+    staged = f"{index_dir}/vectors_compacting"
+    # v is already the double-cast vector; lsh_persist recomputes
+    # vnorm/bucket from it deterministically (same planes)
+    lsh_persist(
+        resolved.select("vec_id", F.col("v").alias("embedding")),
+        staged, n_planes=int(m["n_planes"]), seed=int(m["seed"]),
+        target_rows_per_file=target_rows_per_file,
+    )
+    _swap_compacted(
+        index_dir, f"{staged}/vectors",
+        extra_swaps=[(f"{staged}/bucket_stats", "bucket_stats")],
+    )
+    _shutil.rmtree(staged, ignore_errors=True)
+
+
+def ivf_upsert(spark, index_dir: str,
+               add: DataFrame | None = None,
+               delete_ids: DataFrame | None = None,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> int:
+    """O(delta) maintenance for the persisted IVF layout — same
+    generation/tombstone protocol as ``lsh_upsert`` (shared
+    ``_tombstone_gen`` / ``_resolved_vectors`` machinery; reference
+    analog: ``Hashing_update.py:53-100``). Added vectors are assigned
+    with the PERSISTED centroid table — the quantizer is frozen at
+    build time, the standard IVF maintenance story: re-training
+    centroids would silently move every existing assignment, so that
+    is a rebuild (``ivf_persist``), never an upsert. Returns the
+    generation number assigned to this batch."""
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    gen = _tombstone_gen(spark, index_dir, add, delete_ids, id_col)
+    if add is not None:
+        base = add.select(
+            F.col(id_col).alias("vec_id"),
+            _as_double(F.col(vec_col)).alias("v"),
+        ).withColumn("vnorm", _norm(F.col("v")))
+        batch = ivf_assign(base, cent).withColumn(
+            "gen", F.lit(gen).cast("int")
+        )
+        batch.write.mode("append").partitionBy("cell")\
+            .parquet(f"{index_dir}/vectors_delta")
+    return gen
+
+
+def ivf_compact(spark, index_dir: str) -> None:
+    """Fold IVF delta batches + tombstones back into the base layout.
+    Unlike ``lsh_compact`` this does NOT re-run the builder: the
+    persisted centroids are kept verbatim (quantizer frozen — see
+    ``ivf_upsert``) and the resolved logical set, which already
+    carries its cell assignment, is rewritten cell-partitioned.
+    Requires no concurrent probes (same documented trade as
+    ``lsh_compact``)."""
+    import shutil as _shutil
+
+    resolved = _ivf_resolved_vectors(spark, index_dir)
+    staged = f"{index_dir}/vectors_compacting"
+    resolved.write.mode("overwrite").partitionBy("cell").parquet(staged)
+    _swap_compacted(index_dir, staged)
+    _shutil.rmtree(staged, ignore_errors=True)
+
+
 def lsh_topk_persisted(spark, index_dir: str, query_vecs: DataFrame,
                        k: int = 10, probe_flips: int = 1,
                        qid_col: str = "query_id",
@@ -500,7 +713,9 @@ def lsh_topk_persisted(spark, index_dir: str, query_vecs: DataFrame,
     column, so dynamic partition pruning reads only the probed
     buckets' files (asserted in test_plans). Values are identical to
     the in-memory ``lsh_topk`` — same planes, same buckets, same
-    probes, same scoring — one oracle, two physical plans."""
+    probes, same scoring — one oracle, two physical plans. On a
+    layout with pending ``lsh_upsert`` batches the scan resolves
+    delta generations and tombstones first (merge-on-read)."""
     m = spark.read.parquet(f"{index_dir}/meta").first()
     planes = hyperplanes(m["dim"], m["n_planes"], m["seed"])
     n_planes = int(m["n_planes"])
@@ -516,7 +731,7 @@ def lsh_topk_persisted(spark, index_dir: str, query_vecs: DataFrame,
     ]
     qs = qs.withColumn("probe", F.explode(F.array(*probes)))
 
-    vectors = spark.read.parquet(f"{index_dir}/vectors")
+    vectors = _lsh_resolved_vectors(spark, index_dir)
     scored = (
         vectors.join(F.broadcast(qs), vectors.bucket == qs.probe)
         .withColumn(
@@ -539,10 +754,30 @@ def lsh_topk_persisted(spark, index_dir: str, query_vecs: DataFrame,
 def duckdb_ivf_topk_sql(dim: int, k: int = 10,
                         n_cells: int = DEFAULT_CELLS,
                         n_probe: int = DEFAULT_PROBE,
-                        queries_pred: str = "vec_id < 3") -> str:
+                        queries_pred: str = "vec_id < 3",
+                        logical_select: str | None = None) -> str:
     """DuckDB twin of ``ivf_topk``: recomputes the SAME deterministic
     centroid sample (sha256-prefix id hash), assignment, probing, and
-    re-score — the approximate operator is fully value-checkable."""
+    re-score — the approximate operator is fully value-checkable.
+
+    ``logical_select`` (must yield ``vec_id`` + double-list ``v``)
+    overrides the vector set that is ASSIGNED and QUERIED, while the
+    centroid sample stays on the original ``embeddings`` table — the
+    SQL mirror of ``ivf_upsert``'s frozen-quantizer rule, used by the
+    ``ann_ivf_delta`` driver row."""
+    if logical_select is None:
+        logical_cte, logical_src = "", "nrm"
+    else:
+        logical_cte = f"""lbase AS (
+  {logical_select}
+),
+lnrm AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS vnorm
+  FROM lbase
+),
+"""
+        logical_src = "lnrm"
     return f"""
 WITH base AS (
   SELECT vec_id,
@@ -562,7 +797,7 @@ cent AS (
   FROM nrm
   QUALIFY cid <= {n_cells}
 ),
-assigned AS (
+{logical_cte}assigned AS (
   SELECT vec_id, v, vnorm, cid AS cell FROM (
     SELECT n.vec_id, n.v, n.vnorm, c.cid,
            row_number() OVER (
@@ -573,12 +808,12 @@ assigned AS (
                        ELSE -2.0 END DESC,
                       c.cid ASC
            ) AS rn
-    FROM nrm n CROSS JOIN cent c
+    FROM {logical_src} n CROSS JOIN cent c
   ) WHERE rn = 1
 ),
 qs AS (
   SELECT 'v' || vec_id AS query_id, v AS q, vnorm AS qnorm
-  FROM nrm WHERE {queries_pred}
+  FROM {logical_src} WHERE {queries_pred}
 ),
 probes AS (
   SELECT query_id, q, qnorm, cid AS cell FROM (
@@ -617,14 +852,25 @@ SELECT query_id, rank, vec_id, cosine_micro FROM ranked WHERE rank <= {k}
 def duckdb_lsh_topk_sql(dim: int, k: int = 10,
                         n_planes: int = DEFAULT_PLANES,
                         probe_flips: int = 1, seed: int = 13,
-                        queries_pred: str = "vec_id < 3") -> str:
+                        queries_pred: str = "vec_id < 3",
+                        base_select: str | None = None) -> str:
     """DuckDB twin of ``lsh_topk`` with the SAME seeded hyperplanes
     inlined as float literals (``repr`` round-trips doubles exactly,
     so both engines evaluate identical plane coefficients). This makes
     the approximate operator fully value-checkable: the oracle
     reproduces bucketing, multi-probe, candidate join, exact re-score,
-    and top-k — not just a rows-only count."""
+    and top-k — not just a rows-only count.
+
+    ``base_select`` overrides the base CTE body (must yield
+    ``vec_id`` + double-list ``v``) — used by the ``ann_lsh_delta``
+    driver row to express the post-upsert LOGICAL vector set in SQL."""
     planes = hyperplanes(dim, n_planes, seed)
+    if base_select is None:
+        base_select = (
+            "SELECT vec_id,\n"
+            "         list_transform(embedding, x -> CAST(x AS DOUBLE))"
+            " AS v\n  FROM embeddings"
+        )
 
     def dot_lit(vcol: str, p: np.ndarray) -> str:
         lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
@@ -646,9 +892,7 @@ def duckdb_lsh_topk_sql(dim: int, k: int = 10,
     )
     return f"""
 WITH base AS (
-  SELECT vec_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  {base_select}
 ),
 bucketed AS (
   SELECT vec_id, v,

@@ -346,3 +346,155 @@ def test_lsh_persist_salts_mega_bucket_writes(spark, tmp_path):
         for r in lsh_topk(emb, qs2, k=5, n_planes=6).collect()
     )
     assert got == want
+
+
+def test_lsh_upsert_merge_on_read_matches_rebuild(spark, emb, tmp_path):
+    """O(delta) vector-store maintenance: ``lsh_upsert`` batches +
+    tombstones resolved at probe time must equal a FULL REBUILD of the
+    post-upsert logical set bit-identically; a second generation
+    supersedes the first; ``lsh_compact`` folds deltas back into the
+    base with zero value change and drops the delta/tombstone dirs."""
+    import os
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        _lsh_resolved_vectors,
+        lsh_compact,
+        lsh_persist,
+        lsh_topk_persisted,
+        lsh_upsert,
+    )
+
+    d = str(tmp_path / "deltalsh")
+    lsh_persist(emb, d)
+    n_base = emb.count()
+
+    adds = emb.filter(F.col("vec_id") % 97 == 0).withColumn(
+        "embedding", F.reverse("embedding")
+    )
+    dels = emb.filter(
+        (F.col("vec_id") % 101 == 0) & (F.col("vec_id") % 97 != 0)
+    ).select("vec_id")
+    n_adds, n_dels = adds.count(), dels.count()
+    assert n_adds > 0 and n_dels > 0
+    assert lsh_upsert(spark, d, add=adds, delete_ids=dels) == 1
+
+    # logical set: upserted ids reversed, deleted ids gone
+    logical = emb.filter(
+        ~((F.col("vec_id") % 101 == 0) & (F.col("vec_id") % 97 != 0))
+    ).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 97 == 0, F.reverse("embedding"))
+        .otherwise(F.col("embedding")),
+    )
+    assert _lsh_resolved_vectors(spark, d).count() == n_base - n_dels
+
+    d2 = str(tmp_path / "rebuiltlsh")
+    lsh_persist(logical, d2)
+    qs2 = logical.filter(F.col("vec_id") < 5).select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+
+    def rows(df):
+        return {(r["query_id"], r["rank"], r["vec_id"], r["cosine_micro"])
+                for r in df.collect()}
+
+    got = rows(lsh_topk_persisted(spark, d, qs2, k=5))
+    want = rows(lsh_topk_persisted(spark, d2, qs2, k=5))
+    assert got == want and len(got) > 0
+
+    # generation 2: delete the gen-1 adds; tombstone gen 2 must
+    # supersede BOTH the gen-1 delta rows and the gen-0 base rows
+    assert lsh_upsert(spark, d, delete_ids=adds.select("vec_id")) == 2
+    after_del = lsh_topk_persisted(spark, d, qs2, k=5)
+    got2 = rows(after_del)
+    assert all(vid % 97 != 0 for (_, _, vid, _) in got2)
+    assert _lsh_resolved_vectors(spark, d).count() == \
+        n_base - n_dels - n_adds
+
+    # compact: same answers, merge-on-read machinery gone
+    lsh_compact(spark, d)
+    assert not os.path.exists(f"{d}/vectors_delta")
+    assert not os.path.exists(f"{d}/tombstones")
+    assert not os.path.exists(f"{d}/vectors_compacting")
+    assert rows(lsh_topk_persisted(spark, d, qs2, k=5)) == got2
+
+
+def test_ivf_upsert_path_independence_and_compact(spark, emb, tmp_path):
+    """IVF delta maintenance: the generation/tombstone protocol must
+    be PATH-INDEPENDENT (one combined upsert == delete-then-add as two
+    generations — same logical set, same probe answers), ``ivf_compact``
+    must fold deltas with zero value change while keeping the
+    centroids byte-identical (frozen-quantizer contract — the value
+    semantics themselves are oracle-checked by the ``ann_ivf_delta``
+    driver row against DuckDB), and merge-on-read must equal the
+    compacted pure-base scan."""
+    import os
+    import shutil
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        _ivf_resolved_vectors,
+        ivf_compact,
+        ivf_persist,
+        ivf_topk_persisted,
+        ivf_upsert,
+    )
+
+    d = str(tmp_path / "deltaivf")
+    ivf_persist(emb, d)
+    d2 = str(tmp_path / "deltaivf2")
+    shutil.copytree(d, d2)
+    n_base = emb.count()
+    cent_before = sorted(
+        (r["cid"], tuple(r["cv"]))
+        for r in spark.read.parquet(f"{d}/centroids").collect()
+    )
+
+    adds = emb.filter(F.col("vec_id") % 97 == 0).withColumn(
+        "embedding", F.reverse("embedding")
+    )
+    dels = emb.filter(
+        (F.col("vec_id") % 101 == 0) & (F.col("vec_id") % 97 != 0)
+    ).select("vec_id")
+    n_dels = dels.count()
+    assert adds.count() > 0 and n_dels > 0
+
+    # path A: one combined batch; path B: two generations
+    assert ivf_upsert(spark, d, add=adds, delete_ids=dels) == 1
+    assert ivf_upsert(spark, d2, delete_ids=dels) == 1
+    assert ivf_upsert(spark, d2, add=adds) == 2
+    assert _ivf_resolved_vectors(spark, d).count() == n_base - n_dels
+    assert _ivf_resolved_vectors(spark, d2).count() == n_base - n_dels
+
+    logical = emb.filter(
+        ~((F.col("vec_id") % 101 == 0) & (F.col("vec_id") % 97 != 0))
+    ).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 97 == 0, F.reverse("embedding"))
+        .otherwise(F.col("embedding")),
+    )
+    qs2 = logical.filter(F.col("vec_id") < 5).select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+
+    def rows(df):
+        return {(r["query_id"], r["rank"], r["vec_id"], r["cosine_micro"])
+                for r in df.collect()}
+
+    got = rows(ivf_topk_persisted(spark, d, qs2, k=5))
+    assert got == rows(ivf_topk_persisted(spark, d2, qs2, k=5))
+    assert len(got) > 0
+
+    # compact: same answers, centroids byte-identical, deltas folded
+    ivf_compact(spark, d)
+    assert not os.path.exists(f"{d}/vectors_delta")
+    assert not os.path.exists(f"{d}/tombstones")
+    assert not os.path.exists(f"{d}/vectors_compacting")
+    cent_after = sorted(
+        (r["cid"], tuple(r["cv"]))
+        for r in spark.read.parquet(f"{d}/centroids").collect()
+    )
+    assert cent_after == cent_before
+    assert rows(ivf_topk_persisted(spark, d, qs2, k=5)) == got
+    assert _ivf_resolved_vectors(spark, d).count() == n_base - n_dels

@@ -108,3 +108,26 @@ def test_pipeline_via_spark_submit_py_files(tmp_path, spark, corpus_df,
     assert list(got["doc_id"]) == list(want["doc_id"])
     for g, w in zip(got["score"], want["score"]):
         assert abs(g - w) <= 1e-6 * max(1.0, abs(w))
+
+
+def test_read_input_table_and_sql_specs(spark, corpus_df):
+    """The pipeline's input seam resolves all three spec forms; the
+    ``table:`` form is what binds an Iceberg catalog table on a real
+    cluster (north rule) — format-agnostic below this one function."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "run_pipeline_mod", os.path.join(REPO, "scripts", "run_pipeline.py")
+    )
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+
+    corpus_df.createOrReplaceTempView("corpus_tbl")
+    via_table = rp.read_input(spark, "table:corpus_tbl")
+    assert via_table.count() == corpus_df.count()
+    assert set(corpus_df.columns) <= set(via_table.columns)
+
+    via_sql = rp.read_input(
+        spark, "sql:SELECT * FROM corpus_tbl WHERE lang = 'py'"
+    )
+    assert via_sql.count() == corpus_df.filter("lang = 'py'").count()
