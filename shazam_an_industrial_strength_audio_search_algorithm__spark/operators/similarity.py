@@ -493,32 +493,49 @@ def lsh_persist(emb: DataFrame, out_dir: str,
     meta.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/meta")
 
 
-def _resolved_vectors(spark, index_dir: str, part_col: str) -> DataFrame:
-    """A vector layout's LOGICAL set: base layout + delta batches,
-    tombstone-superseded (merge-on-read — the same generation rule as
-    ``segments._resolve_layers``: a tombstone at gen G kills every
-    older generation of that vec_id; the add that travels WITH the
-    tombstone carries gen G itself and survives). With no deltas this
-    is exactly the base scan — zero overhead on a freshly-built or
-    compacted layout, and the partition column (``bucket`` for LSH,
-    ``cell`` for IVF) survives untouched either way so probe-time DPP
-    keeps working."""
+def _delta_gens(index_dir: str) -> list[int]:
+    """Committed delta generations of a vector layout, ascending. A
+    generation exists iff its ``delta/g=<N>`` directory does — the
+    directory RENAME in ``_commit_delta`` is the commit point, so a
+    crashed upsert (still in ``delta_staging/``) is never listed."""
     import glob as _glob
 
+    return sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in _glob.glob(f"{index_dir}/delta/g=*")
+    )
+
+
+def _resolved_vectors(spark, index_dir: str, part_col: str) -> DataFrame:
+    """A vector layout's LOGICAL set: base layout + committed delta
+    generations, tombstone-superseded (merge-on-read — the same
+    generation rule as ``segments._resolve_layers``: a tombstone at
+    gen G kills every older generation of that vec_id; the add that
+    travels WITH the tombstone carries gen G itself and survives).
+    With no deltas this is exactly the base scan — zero overhead on a
+    freshly-built or compacted layout, and the partition column
+    (``bucket`` for LSH, ``cell`` for IVF) survives untouched either
+    way so probe-time DPP keeps working (Catalyst pushes the probe
+    join's dynamic pruning through the union onto every branch's
+    scan — plan-asserted in test_similarity). One union branch + one
+    tombstone dir per pending generation: compaction bounds the list."""
     base = spark.read.parquet(f"{index_dir}/vectors")
-    has_delta = bool(_glob.glob(f"{index_dir}/vectors_delta/{part_col}=*"))
-    has_tomb = bool(_glob.glob(f"{index_dir}/tombstones/*.parquet"))
-    if not (has_delta or has_tomb):
+    gens = _delta_gens(index_dir)
+    if not gens:
         return base
     vectors = base.withColumn("gen", F.lit(0).cast("int"))
-    if has_delta:
-        delta = spark.read.option("basePath", f"{index_dir}/vectors_delta")\
-            .parquet(f"{index_dir}/vectors_delta/{part_col}=*")
-        vectors = vectors.unionByName(
-            delta.select(part_col, "vec_id", "v", "vnorm", "gen"))
-    if has_tomb:
+    tomb_dirs = []
+    for g in gens:
+        gdir = f"{index_dir}/delta/g={g}"
+        if os.path.isdir(f"{gdir}/vectors"):
+            d = spark.read.parquet(f"{gdir}/vectors")
+            vectors = vectors.unionByName(
+                d.select(part_col, "vec_id", "v", "vnorm", "gen"))
+        if os.path.isdir(f"{gdir}/tombstones"):
+            tomb_dirs.append(f"{gdir}/tombstones")
+    if tomb_dirs:
         tmax = (
-            spark.read.parquet(f"{index_dir}/tombstones")
+            spark.read.parquet(*tomb_dirs)
             .groupBy("vec_id").agg(F.max("gen").alias("tomb_gen"))
         )
         vectors = (
@@ -538,36 +555,51 @@ def _ivf_resolved_vectors(spark, index_dir: str) -> DataFrame:
     return _resolved_vectors(spark, index_dir, "cell")
 
 
-def _tombstone_gen(spark, index_dir: str,
-                   add: DataFrame | None, delete_ids: DataFrame | None,
-                   id_col: str) -> int:
-    """Shared upsert bookkeeping for the vector layouts: compute the
-    next generation number and append one generation-stamped tombstone
-    batch covering every upserted AND deleted id (an add IS an upsert
-    — its tombstone supersedes older generations of the id while the
-    add row, carrying this gen itself, survives the ``>=`` filter in
-    ``_resolved_vectors``). Returns the generation assigned."""
-    import glob as _glob
-
-    if add is None and delete_ids is None:
-        raise ValueError("vector upsert: nothing to apply")
-    gen = 1
-    if _glob.glob(f"{index_dir}/tombstones/*.parquet"):
-        prev = spark.read.parquet(f"{index_dir}/tombstones")\
-            .agg(F.max("gen")).first()[0]
-        gen = int(prev or 0) + 1
-    tomb_parts = []
+def _tomb_frame(add: DataFrame | None, delete_ids: DataFrame | None,
+                id_col: str, gen: int) -> DataFrame:
+    """One generation-stamped tombstone frame covering every upserted
+    AND deleted id (an add IS an upsert — its tombstone supersedes
+    older generations of the id while the add row, carrying this gen
+    itself, survives the ``>=`` filter in ``_resolved_vectors``)."""
+    parts = []
     if delete_ids is not None:
-        tomb_parts.append(delete_ids.select(F.col(id_col).alias("vec_id")))
+        parts.append(delete_ids.select(F.col(id_col).alias("vec_id")))
     if add is not None:
-        tomb_parts.append(add.select(F.col(id_col).alias("vec_id")))
-    tomb = tomb_parts[0]
-    for t in tomb_parts[1:]:
+        parts.append(add.select(F.col(id_col).alias("vec_id")))
+    tomb = parts[0]
+    for t in parts[1:]:
         tomb = tomb.unionByName(t)
-    tomb.distinct().withColumn("gen", F.lit(gen).cast("int"))\
-        .coalesce(1).write.mode("append")\
-        .parquet(f"{index_dir}/tombstones")
-    return gen
+    return tomb.distinct().withColumn("gen", F.lit(gen).cast("int"))
+
+
+def _commit_delta(spark, index_dir: str, part_col: str,
+                  tomb: DataFrame, batch: DataFrame | None,
+                  gen: int) -> None:
+    """Atomic generation commit for the vector layouts: the batch's
+    tombstones AND partitioned vectors are written into a private
+    ``delta_staging/<uuid>`` directory — invisible to probes — and
+    become visible with ONE ``os.rename`` to ``delta/g=<gen>``
+    (atomic on POSIX). A concurrent probe therefore sees a generation
+    either completely or not at all, and a crashed upsert leaves only
+    an abandoned staging dir that is never read (and is swept by the
+    next compact). Two upserts racing the same generation number:
+    exactly one rename wins, the loser raises loudly."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    staging = f"{index_dir}/delta_staging/{_uuid.uuid4().hex[:12]}"
+    tomb.coalesce(1).write.parquet(f"{staging}/tombstones")
+    if batch is not None:
+        batch.write.partitionBy(part_col).parquet(f"{staging}/vectors")
+    os.makedirs(f"{index_dir}/delta", exist_ok=True)
+    try:
+        os.rename(staging, f"{index_dir}/delta/g={gen}")
+    except OSError as e:
+        _shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"vector upsert: generation {gen} already committed "
+            f"(concurrent upsert?) — re-read and retry"
+        ) from e
 
 
 def _swap_compacted(index_dir: str, staged_vectors: str,
@@ -585,7 +617,12 @@ def _swap_compacted(index_dir: str, staged_vectors: str,
     os.rename(staged_vectors, f"{index_dir}/vectors")
     for src, dst in extra_swaps:
         os.rename(src, f"{index_dir}/{dst}")
-    cleanup = ["vectors_old", "vectors_delta", "tombstones"]
+    # delta removal comes LAST, and a crash before it is harmless:
+    # re-applying committed deltas over the already-folded base is
+    # value-idempotent — each upserted id's folded base copy (gen 0)
+    # is superseded by its own tombstone (gen G) while the delta copy
+    # (gen G) survives, and delete tombstones find nothing to kill
+    cleanup = ["vectors_old", "delta", "delta_staging"]
     cleanup += [f"{dst}_old" for _, dst in extra_swaps]
     for sub in cleanup:
         _shutil.rmtree(f"{index_dir}/{sub}", ignore_errors=True)
@@ -607,15 +644,19 @@ def lsh_upsert(spark, index_dir: str,
     base layout's files are never rewritten. Run ``lsh_compact``
     periodically to fold deltas back into the base (the probe-side
     overhead between compactions is one broadcast anti-join of the
-    delta-sized tombstone set + the delta scan).
+    delta-sized tombstone set + the delta scans).
 
-    Unlike the segment index there is no snapshot/CURRENT protocol
-    here: batches commit file-at-a-time, so concurrent probes may see
-    a torn batch (some files, not others). Returns the generation
-    number assigned to this batch."""
+    Each generation commits ATOMICALLY via ``_commit_delta``'s
+    directory rename — a concurrent probe sees the whole batch or
+    none of it, never a torn batch. Returns the generation number
+    assigned to this batch."""
+    if add is None and delete_ids is None:
+        raise ValueError("lsh_upsert: nothing to apply")
     m = spark.read.parquet(f"{index_dir}/meta").first()
     planes = hyperplanes(m["dim"], m["n_planes"], m["seed"])
-    gen = _tombstone_gen(spark, index_dir, add, delete_ids, id_col)
+    gen = (_delta_gens(index_dir)[-1:] or [0])[0] + 1
+    tomb = _tomb_frame(add, delete_ids, id_col, gen)
+    batch = None
     if add is not None:
         batch = add.select(
             F.col(id_col).alias("vec_id"),
@@ -623,8 +664,7 @@ def lsh_upsert(spark, index_dir: str,
         ).withColumn("vnorm", _norm(F.col("v"))).withColumn(
             "bucket", _bucket_expr(F.col("v"), planes)
         ).withColumn("gen", F.lit(gen).cast("int"))
-        batch.write.mode("append").partitionBy("bucket")\
-            .parquet(f"{index_dir}/vectors_delta")
+    _commit_delta(spark, index_dir, "bucket", tomb, batch, gen)
     return gen
 
 
@@ -663,15 +703,20 @@ def ivf_upsert(spark, index_dir: str,
                vec_col: str = "embedding") -> int:
     """O(delta) maintenance for the persisted IVF layout — same
     generation/tombstone protocol as ``lsh_upsert`` (shared
-    ``_tombstone_gen`` / ``_resolved_vectors`` machinery; reference
+    ``_commit_delta`` / ``_resolved_vectors`` machinery; reference
     analog: ``Hashing_update.py:53-100``). Added vectors are assigned
     with the PERSISTED centroid table — the quantizer is frozen at
     build time, the standard IVF maintenance story: re-training
     centroids would silently move every existing assignment, so that
-    is a rebuild (``ivf_persist``), never an upsert. Returns the
-    generation number assigned to this batch."""
+    is a rebuild (``ivf_persist``), never an upsert. Each generation
+    commits atomically (directory rename — see ``_commit_delta``).
+    Returns the generation number assigned to this batch."""
+    if add is None and delete_ids is None:
+        raise ValueError("ivf_upsert: nothing to apply")
     cent = spark.read.parquet(f"{index_dir}/centroids")
-    gen = _tombstone_gen(spark, index_dir, add, delete_ids, id_col)
+    gen = (_delta_gens(index_dir)[-1:] or [0])[0] + 1
+    tomb = _tomb_frame(add, delete_ids, id_col, gen)
+    batch = None
     if add is not None:
         base = add.select(
             F.col(id_col).alias("vec_id"),
@@ -680,8 +725,7 @@ def ivf_upsert(spark, index_dir: str,
         batch = ivf_assign(base, cent).withColumn(
             "gen", F.lit(gen).cast("int")
         )
-        batch.write.mode("append").partitionBy("cell")\
-            .parquet(f"{index_dir}/vectors_delta")
+    _commit_delta(spark, index_dir, "cell", tomb, batch, gen)
     return gen
 
 

@@ -403,6 +403,16 @@ def test_lsh_upsert_merge_on_read_matches_rebuild(spark, emb, tmp_path):
     want = rows(lsh_topk_persisted(spark, d2, qs2, k=5))
     assert got == want and len(got) > 0
 
+    # merge-on-read must NOT cost the pruning: Catalyst pushes the
+    # probe join's dynamic partition pruning through the
+    # union+tombstone-join onto BOTH the base and the delta scan
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.plans.audit import (
+        plan_string,
+    )
+
+    p = plan_string(lsh_topk_persisted(spark, d, qs2, k=5)).lower()
+    assert p.count("dynamicpruningexpression") >= 2, p
+
     # generation 2: delete the gen-1 adds; tombstone gen 2 must
     # supersede BOTH the gen-1 delta rows and the gen-0 base rows
     assert lsh_upsert(spark, d, delete_ids=adds.select("vec_id")) == 2
@@ -414,8 +424,8 @@ def test_lsh_upsert_merge_on_read_matches_rebuild(spark, emb, tmp_path):
 
     # compact: same answers, merge-on-read machinery gone
     lsh_compact(spark, d)
-    assert not os.path.exists(f"{d}/vectors_delta")
-    assert not os.path.exists(f"{d}/tombstones")
+    assert not os.path.exists(f"{d}/delta")
+    assert not os.path.exists(f"{d}/delta_staging")
     assert not os.path.exists(f"{d}/vectors_compacting")
     assert rows(lsh_topk_persisted(spark, d, qs2, k=5)) == got2
 
@@ -488,8 +498,8 @@ def test_ivf_upsert_path_independence_and_compact(spark, emb, tmp_path):
 
     # compact: same answers, centroids byte-identical, deltas folded
     ivf_compact(spark, d)
-    assert not os.path.exists(f"{d}/vectors_delta")
-    assert not os.path.exists(f"{d}/tombstones")
+    assert not os.path.exists(f"{d}/delta")
+    assert not os.path.exists(f"{d}/delta_staging")
     assert not os.path.exists(f"{d}/vectors_compacting")
     cent_after = sorted(
         (r["cid"], tuple(r["cv"]))
@@ -498,3 +508,59 @@ def test_ivf_upsert_path_independence_and_compact(spark, emb, tmp_path):
     assert cent_after == cent_before
     assert rows(ivf_topk_persisted(spark, d, qs2, k=5)) == got
     assert _ivf_resolved_vectors(spark, d).count() == n_base - n_dels
+
+
+def test_vector_delta_crash_windows_are_safe(spark, emb, tmp_path):
+    """The two delta-protocol crash windows: (1) a crashed upsert
+    leaves only ``delta_staging/<uuid>`` — probes and generation
+    numbering ignore it entirely (the directory RENAME is the commit
+    point); (2) a compact that crashed after the base swap but before
+    delta removal leaves committed deltas lying over the
+    already-folded base — re-applying them is value-idempotent (each
+    upserted id's folded base copy is superseded by its own tombstone
+    while the delta copy survives)."""
+    import os
+    import shutil
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        _delta_gens,
+        lsh_compact,
+        lsh_persist,
+        lsh_topk_persisted,
+        lsh_upsert,
+    )
+
+    d = str(tmp_path / "crashlsh")
+    lsh_persist(emb, d)
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+
+    def rows(df):
+        return {(r["query_id"], r["rank"], r["vec_id"], r["cosine_micro"])
+                for r in df.collect()}
+
+    before = rows(lsh_topk_persisted(spark, d, qs, k=5))
+
+    # window 1: staged-but-never-renamed upsert is invisible
+    os.makedirs(f"{d}/delta_staging/deadbeef0123/tombstones")
+    with open(f"{d}/delta_staging/deadbeef0123/tombstones/x.parquet",
+              "wb") as f:
+        f.write(b"torn")
+    assert _delta_gens(d) == []
+    assert rows(lsh_topk_persisted(spark, d, qs, k=5)) == before
+    shutil.rmtree(f"{d}/delta_staging")
+
+    # window 2: compact crash after base swap, before delta removal
+    adds = emb.filter(F.col("vec_id") % 97 == 0).withColumn(
+        "embedding", F.reverse("embedding")
+    )
+    assert lsh_upsert(spark, d, add=adds) == 1
+    with_delta = rows(lsh_topk_persisted(spark, d, qs, k=5))
+    shutil.copytree(f"{d}/delta", str(tmp_path / "delta_saved"))
+    lsh_compact(spark, d)
+    assert rows(lsh_topk_persisted(spark, d, qs, k=5)) == with_delta
+    shutil.copytree(str(tmp_path / "delta_saved"), f"{d}/delta")
+    # folded base + re-applied committed deltas: same logical set
+    assert rows(lsh_topk_persisted(spark, d, qs, k=5)) == with_delta
