@@ -80,6 +80,17 @@ def main() -> None:
             "never re-bucketing the corpus per batch.",
         ),
         (
+            "ann_lsh_delta — persisted LSH ANN with pending upsert "
+            "generations (merge-on-read)",
+            api.q_ann_lsh_delta(spark, SF),
+            "The probe join's dynamic partition pruning pushes "
+            "through the base∪delta union AND the tombstone "
+            "left-join: BOTH the base scan and the delta-generation "
+            "scan carry dynamicpruningexpression on their partition "
+            "column — merge-on-read costs the tombstone broadcast, "
+            "never the pruning.",
+        ),
+        (
             "emb_neardup — exact embedding near-dup via blocked "
             "matmul grid",
             api.q_emb_neardup(spark, SF),
