@@ -47,6 +47,24 @@ Rollback::
     spark-submit --py-files /tmp/engine.zip scripts/run_pipeline.py \
         restore --index /data/index --version 3
 
+Vector store (same lifecycle over the persisted ANN layouts —
+sign-LSH or IVF; updates commit as atomic merge-on-read generations)::
+
+    spark-submit --py-files /tmp/engine.zip scripts/run_pipeline.py \
+        ann-build --vectors /data/embeddings --index /data/annidx \
+        [--layout lsh|ivf]
+
+    spark-submit --py-files /tmp/engine.zip scripts/run_pipeline.py \
+        ann-update --index /data/annidx --add /data/new_vecs \
+        [--delete /data/deleted_vec_ids]
+
+    spark-submit --py-files /tmp/engine.zip scripts/run_pipeline.py \
+        ann-query --index /data/annidx --queries /data/qvecs \
+        --out /data/ann_results --k 10
+
+    spark-submit --py-files /tmp/engine.zip scripts/run_pipeline.py \
+        ann-compact --index /data/annidx
+
 On a cluster, drop the ``local[*]`` session default by passing
 ``--master``/executor confs to spark-submit as usual — this script
 only calls ``SparkSession.builder.getOrCreate()`` and inherits them.
@@ -148,6 +166,45 @@ def main(argv: list[str]) -> int:
     r.add_argument("--index", required=True)
     r.add_argument("--version", type=int, required=True)
 
+    # vector store: the same build/update/compact/query lifecycle over
+    # the persisted ANN layouts (sign-LSH bucket-partitioned or IVF
+    # cell-partitioned). --vectors/--add/--delete/--queries accept the
+    # same table:/sql:/parquet input specs as the index commands.
+    ab = sub.add_parser("ann-build",
+                        help="persist an ANN layout from an embedding "
+                             "table (vec_id, embedding)")
+    ab.add_argument("--vectors", required=True)
+    ab.add_argument("--index", required=True)
+    ab.add_argument("--layout", choices=["lsh", "ivf"], default="lsh")
+    ab.add_argument("--n-planes", type=int, default=16)
+    ab.add_argument("--n-cells", type=int, default=64)
+    ab.add_argument("--seed", type=int, default=13)
+
+    au = sub.add_parser("ann-update",
+                        help="O(delta) upsert/delete: one atomically "
+                             "committed generation (merge-on-read)")
+    au.add_argument("--index", required=True)
+    au.add_argument("--layout", choices=["lsh", "ivf"], default="lsh")
+    au.add_argument("--add")
+    au.add_argument("--delete",
+                    help="input spec of a one-column (vec_id) table")
+
+    ac = sub.add_parser("ann-compact",
+                        help="fold delta generations back into the "
+                             "base layout (pause probes)")
+    ac.add_argument("--index", required=True)
+    ac.add_argument("--layout", choices=["lsh", "ivf"], default="lsh")
+
+    aq = sub.add_parser("ann-query")
+    aq.add_argument("--index", required=True)
+    aq.add_argument("--layout", choices=["lsh", "ivf"], default="lsh")
+    aq.add_argument("--queries", required=True,
+                    help="input spec of a (query_id, qvec) table")
+    aq.add_argument("--out", required=True)
+    aq.add_argument("--k", type=int, default=10)
+    aq.add_argument("--probe-flips", type=int, default=1)
+    aq.add_argument("--n-probe", type=int, default=4)
+
     # resumable query matching: query parquet files appearing under
     # --queries flow through WAND under a Structured Streaming
     # checkpoint; a restart matches only unprocessed files (the
@@ -187,6 +244,50 @@ def main(argv: list[str]) -> int:
         sq.awaitTermination()
         print(f"stream-match drained -> {args.out} (checkpoint "
               f"{args.checkpoint})")
+        return 0
+
+    if args.cmd.startswith("ann-"):
+        from shazam_an_industrial_strength_audio_search_algorithm__spark.operators import (
+            similarity as sim,
+        )
+
+        lsh = args.layout == "lsh"
+        if args.cmd == "ann-build":
+            vecs = read_input(spark, args.vectors)
+            if lsh:
+                sim.lsh_persist(vecs, args.index,
+                                n_planes=args.n_planes, seed=args.seed)
+            else:
+                sim.ivf_persist(vecs, args.index, n_cells=args.n_cells)
+            print(f"ann-build layout={args.layout} -> {args.index}")
+            return 0
+        if args.cmd == "ann-update":
+            upsert = sim.lsh_upsert if lsh else sim.ivf_upsert
+            gen = upsert(
+                spark, args.index,
+                add=read_input(spark, args.add) if args.add else None,
+                delete_ids=(read_input(spark, args.delete)
+                            if args.delete else None),
+            )
+            print(f"ann-update layout={args.layout} committed g={gen}")
+            return 0
+        if args.cmd == "ann-compact":
+            (sim.lsh_compact if lsh else sim.ivf_compact)(spark, args.index)
+            print(f"ann-compact layout={args.layout} done")
+            return 0
+        # ann-query
+        qs = read_input(spark, args.queries)
+        if lsh:
+            top = sim.lsh_topk_persisted(
+                spark, args.index, qs, k=args.k,
+                probe_flips=args.probe_flips,
+            )
+        else:
+            top = sim.ivf_topk_persisted(
+                spark, args.index, qs, k=args.k, n_probe=args.n_probe,
+            )
+        top.write.mode("overwrite").parquet(f"{args.out}/topk")
+        print(f"wrote {args.out}/topk (layout={args.layout})")
         return 0
 
     if args.cmd == "build":

@@ -121,6 +121,95 @@ def stream_ingest(
     return writer.start()
 
 
+EMB_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def stream_vector_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    layout: str = "lsh",
+    compact_every: int | None = None,
+    schema: T.StructType | None = None,
+):
+    """Ingest embedding parquet files appearing under ``source_dir``
+    into a persisted ANN layout at ``index_dir`` (built first with
+    ``lsh_persist``/``ivf_persist``) — the vector-store twin of
+    ``stream_ingest``. Each micro-batch becomes exactly ONE delta
+    generation committed atomically (``similarity._commit_delta``'s
+    directory rename), so a concurrent prober sees every batch
+    completely or not at all — the same no-torn-reads guarantee the
+    segment index gets from its snapshot/CURRENT protocol, obtained
+    here from the filesystem rename instead.
+
+    Exactly-once on replay: a crashed-and-replayed micro-batch
+    re-upserts the same vec_ids as a NEW generation whose tombstones
+    supersede the first attempt's rows — generation numbers advance
+    but the logical vector set cannot diverge (the same argument as
+    ``stream_ingest``'s by-key idempotence). Intra-batch duplicate
+    vec_ids are resolved replay-deterministically (greatest
+    serialized-embedding sha wins), never by partition layout.
+
+    ``layout`` is ``"lsh"`` or ``"ivf"`` (IVF batches are assigned
+    with the frozen build-time centroids — see ``ivf_upsert``).
+    ``compact_every=N`` folds accumulated generations into the base
+    after every N batches; compaction is the one operation that still
+    requires pausing probes (documented in ``lsh_compact``).
+    Returns the StreamingQuery."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        ivf_compact,
+        ivf_upsert,
+        lsh_compact,
+        lsh_upsert,
+    )
+
+    if layout not in ("lsh", "ivf"):
+        raise ValueError(f"layout must be 'lsh' or 'ivf', got {layout!r}")
+    upsert = lsh_upsert if layout == "lsh" else ivf_upsert
+    compact_fn = lsh_compact if layout == "lsh" else ivf_compact
+
+    # file streams need a declared schema; default double vectors —
+    # pass schema= for float32 sources (parquet is strict about the
+    # element type)
+    reader = spark.readStream.schema(schema or EMB_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("vec_id").orderBy(
+            F.sha2(F.to_json(F.col("embedding")), 256).desc()
+        )
+        deduped = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        upsert(spark, index_dir, add=deduped)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_fn(spark, index_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 DEDUP_STATE_SCHEMA = T.StructType(
     [
         T.StructField("seen_shas", T.ArrayType(T.StringType())),

@@ -131,3 +131,77 @@ def test_read_input_table_and_sql_specs(spark, corpus_df):
         spark, "sql:SELECT * FROM corpus_tbl WHERE lang = 'py'"
     )
     assert via_sql.count() == corpus_df.filter("lang = 'py'").count()
+
+
+def test_ann_cli_lifecycle_matches_library(spark, tmp_path):
+    """The vector-store CLI (ann-build / ann-update / ann-query /
+    ann-compact) run in-process must produce exactly the library
+    path's answers at every lifecycle step — one surface, two entry
+    points."""
+    import importlib.util
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        lsh_topk_persisted,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "run_pipeline_ann", os.path.join(REPO, "scripts", "run_pipeline.py")
+    )
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+
+    emb_pdf = pd.DataFrame({
+        "vec_id": range(60),
+        "embedding": [
+            [float(x) for x in np.random.RandomState(i).normal(size=16)]
+            for i in range(60)
+        ],
+    })
+    vdir = str(tmp_path / "vecs")
+    spark.createDataFrame(emb_pdf).write.parquet(vdir)
+    idx = str(tmp_path / "annidx")
+    assert rp.main(["ann-build", "--vectors", vdir, "--index", idx,
+                    "--layout", "lsh", "--n-planes", "6"]) == 0
+
+    adds = str(tmp_path / "adds")
+    spark.createDataFrame(emb_pdf.iloc[:5].assign(
+        embedding=emb_pdf.iloc[:5].embedding.map(lambda v: v[::-1])
+    )).write.parquet(adds)
+    dels = str(tmp_path / "dels")
+    spark.createDataFrame(
+        pd.DataFrame({"vec_id": [55, 56]})
+    ).write.parquet(dels)
+    assert rp.main(["ann-update", "--index", idx, "--add", adds,
+                    "--delete", dels]) == 0
+
+    qdir = str(tmp_path / "queries")
+    spark.createDataFrame(pd.DataFrame({
+        "query_id": ["q0", "q1"],
+        "qvec": [emb_pdf.embedding[0][::-1], emb_pdf.embedding[10]],
+    })).write.parquet(qdir)
+    out1 = str(tmp_path / "out1")
+    assert rp.main(["ann-query", "--index", idx, "--queries", qdir,
+                    "--out", out1, "--k", "5"]) == 0
+
+    def rows(df):
+        return {(r["query_id"], r["rank"], r["vec_id"], r["cosine_micro"])
+                for r in df.collect()}
+
+    want = rows(lsh_topk_persisted(
+        spark, idx, spark.read.parquet(qdir), k=5))
+    got = rows(spark.read.parquet(f"{out1}/topk"))
+    assert got == want and len(got) > 0
+    ids = {v for (_, _, v, _) in got}
+    assert not ({55, 56} & ids)  # deleted ids never surface
+
+    # compact, re-query through the CLI: answers unchanged
+    assert rp.main(["ann-compact", "--index", idx]) == 0
+    assert not os.path.exists(f"{idx}/delta")
+    out2 = str(tmp_path / "out2")
+    assert rp.main(["ann-query", "--index", idx, "--queries", qdir,
+                    "--out", out2, "--k", "5"]) == 0
+    assert rows(spark.read.parquet(f"{out2}/topk")) == got

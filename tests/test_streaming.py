@@ -522,3 +522,94 @@ def test_concurrent_ingest_match_soak(spark, corpus_pdf, tmp_path):
     # of each commit: q2 on the post-ingest-A layered snapshot, q3
     # post-compact, q4b's doc only exists post-ingest-B
     assert len(matched_versions) == 4
+
+
+def test_stream_vector_ingest_atomic_generations(spark, tmp_path):
+    """Streaming vector ingest: each micro-batch commits exactly one
+    atomic delta generation; after the stream drains, merge-on-read
+    probes equal a full rebuild of the logical set; re-running the
+    drained stream changes nothing (exactly-once); periodic compaction
+    folds generations without changing answers."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        _delta_gens,
+        lsh_persist,
+        lsh_topk_persisted,
+    )
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.streaming.ingest import (
+        stream_vector_ingest,
+    )
+
+    def mk(ids, shift=0.0):
+        return pd.DataFrame({
+            "vec_id": ids,
+            "embedding": [
+                [float(x) for x in np.random.RandomState(1000 + i).normal(
+                    loc=shift, size=16)]
+                for i in ids
+            ],
+        })
+
+    base_pdf = mk(range(40))
+    d = str(tmp_path / "slsh")
+    lsh_persist(spark.createDataFrame(base_pdf), d, n_planes=6)
+
+    # 2 file drops: new vectors 40-59, then 60-69 + an overwrite of
+    # vec 0 (shifted — must supersede the base row)
+    src = str(tmp_path / "vin")
+    ckpt = str(tmp_path / "vckpt")
+    spark.createDataFrame(mk(range(40, 60))).write.mode("append").parquet(src)
+    b2 = pd.concat([mk(range(60, 70)), mk([0], shift=3.0)])
+    spark.createDataFrame(b2).write.mode("append").parquet(src)
+
+    q = stream_vector_ingest(spark, src, d, ckpt,
+                             trigger_available_now=True,
+                             max_files_per_trigger=2)
+    q.awaitTermination(300)
+    gens = _delta_gens(d)
+    assert len(gens) >= 1  # one atomic generation per non-empty batch
+
+    # logical set == rebuild: base 1-39 + streamed 40-69 + overwritten 0
+    logical_pdf = pd.concat([mk([0], shift=3.0), base_pdf.iloc[1:],
+                             mk(range(40, 70))])
+    d2 = str(tmp_path / "slsh_rebuilt")
+    lsh_persist(spark.createDataFrame(logical_pdf), d2, n_planes=6)
+    qs = spark.createDataFrame(pd.DataFrame({
+        "query_id": ["v0", "v45", "v65"],
+        "qvec": [list(logical_pdf[logical_pdf.vec_id == i]
+                      .embedding.iloc[0]) for i in (0, 45, 65)],
+    }))
+
+    def rows(df):
+        return {(r["query_id"], r["rank"], r["vec_id"], r["cosine_micro"])
+                for r in df.collect()}
+
+    got = rows(lsh_topk_persisted(spark, d, qs, k=5))
+    want = rows(lsh_topk_persisted(spark, d2, qs, k=5))
+    assert got == want and len(got) > 0
+
+    # exactly-once: draining the same checkpointed stream again must
+    # not add generations
+    n_gens = len(_delta_gens(d))
+    q2 = stream_vector_ingest(spark, src, d, ckpt,
+                              trigger_available_now=True)
+    q2.awaitTermination(300)
+    assert len(_delta_gens(d)) == n_gens
+    assert rows(lsh_topk_persisted(spark, d, qs, k=5)) == got
+
+    # compaction cadence: a fresh stream over the same files with
+    # compact_every=1 folds every generation; answers unchanged
+    d3 = str(tmp_path / "slsh_c")
+    lsh_persist(spark.createDataFrame(base_pdf), d3, n_planes=6)
+    q3 = stream_vector_ingest(spark, src, d3, str(tmp_path / "vckpt3"),
+                              trigger_available_now=True,
+                              max_files_per_trigger=2,
+                              compact_every=1)
+    q3.awaitTermination(300)
+    assert _delta_gens(d3) == []
+    assert not os.path.exists(f"{d3}/delta")
+    assert rows(lsh_topk_persisted(spark, d3, qs, k=5)) == got
