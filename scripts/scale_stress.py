@@ -33,9 +33,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
 
-N_BUCKETS = 32
-HOT_DF = 2048
-BLOCK_SIZE = 128
+# env-overridable so serving-knob experiments (e.g. the round-4
+# n_buckets/block_size sweep) reuse the committed harness verbatim
+N_BUCKETS = int(os.environ.get("SCALE_N_BUCKETS", "32"))
+HOT_DF = int(os.environ.get("SCALE_HOT_DF", "2048"))
+BLOCK_SIZE = int(os.environ.get("SCALE_BLOCK_SIZE", "128"))
 
 
 def _spark(cores: int = 32, shuffle: int = 64,

@@ -564,3 +564,82 @@ def test_vector_delta_crash_windows_are_safe(spark, emb, tmp_path):
     shutil.copytree(str(tmp_path / "delta_saved"), f"{d}/delta")
     # folded base + re-applied committed deltas: same logical set
     assert rows(lsh_topk_persisted(spark, d, qs, k=5)) == with_delta
+
+
+def test_concurrent_probe_upsert_soak(spark, emb, tmp_path):
+    """The atomic-generation claim, replayed under a real race: a
+    prober thread runs merge-on-read top-k in a tight loop while the
+    main thread commits four upsert generations. EVERY observed probe
+    result must equal the exact answer for SOME committed prefix of
+    generations — never a torn batch (tombstones visible without their
+    adds, or half a batch's files). The reference forbids this race by
+    sequencing; the staging+rename commit makes it safe."""
+    import threading
+    import time
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.similarity import (
+        lsh_persist,
+        lsh_topk,
+        lsh_topk_persisted,
+        lsh_upsert,
+    )
+
+    small = emb.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    d = str(tmp_path / "soaklsh")
+    lsh_persist(small, d, n_planes=6)
+
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+
+    def rows(df):
+        return frozenset(
+            (r["query_id"], r["rank"], r["vec_id"], r["cosine_micro"])
+            for r in df.collect()
+        )
+
+    # four generations: g batches of 5 vectors each, reversed (upsert)
+    batches = [
+        emb.filter((F.col("vec_id") >= 40 + 5 * g)
+                   & (F.col("vec_id") < 45 + 5 * g))
+        .withColumn("embedding", F.reverse("embedding"))
+        .select("vec_id", "embedding")
+        for g in range(4)
+    ]
+    # expected answer per committed prefix, via the in-memory oracle
+    # (bit-identical scoring to the persisted path)
+    expected = []
+    logical = small
+    expected.append(rows(lsh_topk(logical, qs, k=5, n_planes=6)))
+    for b in batches:
+        logical = logical.unionByName(b)  # ids are disjoint from base
+        expected.append(rows(lsh_topk(logical, qs, k=5, n_planes=6)))
+
+    observed, errors, stop = [], [], threading.Event()
+
+    def prober():
+        try:
+            while not stop.is_set():
+                observed.append(rows(lsh_topk_persisted(spark, d, qs, k=5)))
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    t = threading.Thread(target=prober)
+    t.start()
+    try:
+        for g, b in enumerate(batches):
+            assert lsh_upsert(spark, d, add=b) == g + 1
+            time.sleep(0.3)  # let probes interleave around the commit
+    finally:
+        stop.set()
+        t.join(120)
+    assert not errors, errors
+    assert len(observed) >= 4
+    valid = set(expected)
+    for i, ob in enumerate(observed):
+        assert ob in valid, f"probe {i} saw a state matching no prefix"
+    # the soak actually spanned commits: more than one state observed,
+    # and the final state is the fully-committed one
+    assert len(set(observed)) >= 2
+    assert rows(lsh_topk_persisted(spark, d, qs, k=5)) == expected[-1]
