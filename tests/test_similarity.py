@@ -496,6 +496,15 @@ def test_ivf_upsert_path_independence_and_compact(spark, emb, tmp_path):
     assert got == rows(ivf_topk_persisted(spark, d2, qs2, k=5))
     assert len(got) > 0
 
+    # DPP reaches both the base and the delta scan (same property as
+    # the LSH twin — asserted per-layout because the plans differ)
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.plans.audit import (
+        plan_string,
+    )
+
+    p = plan_string(ivf_topk_persisted(spark, d, qs2, k=5)).lower()
+    assert p.count("dynamicpruningexpression") >= 2, p
+
     # compact: same answers, centroids byte-identical, deltas folded
     ivf_compact(spark, d)
     assert not os.path.exists(f"{d}/delta")
