@@ -239,7 +239,13 @@ def wand_topk(
     pruning actually happened.
 
     Batched execution: queries are hashed into ``n_groups`` groups
-    (default = shuffle partitions) and each candidate block shuffles
+    (default = max(shuffle partitions, index.n_buckets) — each group
+    is a single-task kernel, so group count must scale WITH the
+    index's bucket count: measured at 4M docs / 128 buckets, 64
+    groups serialized the kernel leg at 1892 ms/q while 128 groups
+    served at 962, and at ≤32 buckets the max() leaves the previous
+    shuffle-partitions default untouched; see BENCH/BASELINE.md
+    round-4 knob table) and each candidate block shuffles
     ONCE per group whose queries touch its term — not once per query.
     With a Q-query batch sharing hot terms this cuts shuffled payload
     bytes by ~Q/n_groups, and queries inside a group share one decode
@@ -285,7 +291,7 @@ def wand_topk(
     # don't let AQE coalesce the (small-bytes) shuffle under the core
     # count and serialize it
     n_part = int(index.spark.conf.get("spark.sql.shuffle.partitions"))
-    n_grp = int(n_groups) if n_groups else n_part
+    n_grp = int(n_groups) if n_groups else max(n_part, index.n_buckets)
     qg = qt.withColumn(
         "grp", F.pmod(F.xxhash64(F.col("query_id")), F.lit(n_grp)).cast("int")
     )
@@ -345,7 +351,12 @@ def wand_topk(
         return pd.concat(frames, ignore_index=True)
 
     return (
-        per_group.repartition(n_part, "grp")
+        # repartition width must match the group count: with g groups
+        # hashed over p partitions, only min(g, p) tasks can be
+        # non-empty — widening one without the other changes nothing
+        # (measured: 4M/128-bucket index at 64 tasks = 1892 ms/q,
+        # at 128 groups AND 128 partitions = 962 ms/q)
+        per_group.repartition(n_grp, "grp")
         .groupBy("grp")
         .applyInPandas(run, schema=schema)
     )
