@@ -90,11 +90,16 @@ def cmd_build(args) -> None:
     corpus = spark.read.parquet(args.corpus)
     t0 = time.monotonic()
     rep = build_segment_index(
-        spark, corpus, args.index, n_buckets=N_BUCKETS, hot_df=HOT_DF,
-        block_size=BLOCK_SIZE, store_positions=False,
+        spark, corpus, args.index,
+        # --auto: exercise the data-aware layout policy (round-5
+        # item 2) — n_buckets/block_size resolve from the corpus count
+        n_buckets=None if args.auto else N_BUCKETS,
+        hot_df=HOT_DF,
+        block_size=None if args.auto else BLOCK_SIZE,
+        store_positions=False,
     )
     wall = time.monotonic() - t0
-    SegmentIndex.open(spark, args.index)  # commit sanity check
+    idx = SegmentIndex.open(spark, args.index)  # commit sanity check
     tot = {"n_postings": 0, "n_terms": 0, "n_blocks": 0}
     import glob as _glob
 
@@ -106,6 +111,10 @@ def cmd_build(args) -> None:
         "leg": "build", "index": args.index, "n_docs": rep.n_docs,
         "sec": round(wall, 1),
         "docs_per_sec": round(rep.n_docs / wall, 1),
+        "n_buckets": idx.n_buckets,
+        "block_size": idx.snapshot["block_size"],
+        "postings_per_bucket": round(tot["n_postings"] / idx.n_buckets)
+        if tot["n_postings"] else 0,
         "timings": {k: round(v, 1) for k, v in (rep.timings or {}).items()},
         **tot,
     })
@@ -147,10 +156,22 @@ def cmd_query(args) -> None:
         wand_topk,
     )
 
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.topk import (
+        query_terms,
+    )
+
     spark = _spark(args.cores, shuffle=args.shuffle)
     idx = SegmentIndex.open(spark, args.index)
     qs = spark.read.parquet(args.queries)
     nq = qs.count()
+    # log the scratch-guard's estimate at every scale point (round-5
+    # item 8): this is the number that said 'brute is infeasible'
+    # BEFORE the 4M ENOSPC would have
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
+        estimate_brute_materialization,
+    )
+
+    est = estimate_brute_materialization(idx, query_terms(qs, "query_id", "text"))
     t0 = time.monotonic()
     if args.wand:
         res = wand_topk(idx, qs, k=10)
@@ -163,6 +184,8 @@ def cmd_query(args) -> None:
         "index": args.index, "n_queries": nq, "rows": n,
         "sec": round(wall, 1), "ms_per_query": round(1000 * wall / nq, 1),
         "layered": idx.has_deltas,
+        "brute_est_rows": est["rows"],
+        "brute_est_gb": round(est["bytes"] / 1e9, 2),
     })
 
 
@@ -216,6 +239,8 @@ def main(argv: list[str]) -> int:
     b.add_argument("--index", required=True)
     b.add_argument("--max-partition-bytes", type=int, default=None)
     b.add_argument("--arrow-batch", type=int, default=None)
+    b.add_argument("--auto", action="store_true",
+                   help="data-aware n_buckets/block_size policy")
 
     qs = sub.add_parser("queries")
     qs.add_argument("--corpus", required=True)

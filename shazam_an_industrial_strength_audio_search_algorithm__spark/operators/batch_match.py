@@ -1,0 +1,181 @@
+"""Batch query-side resume: checkpointed top-k over a large query set.
+
+Reference parity: the reference checkpoints its match loop every 100
+queries and skips completed work on restart
+(``/root/reference/utils/Matching.py:46-57`` writes the partial
+result dict per chunk; ``:96`` ``cont=True`` skips utterances already
+present). The engine had build-side resume (lineage manifests,
+``segments.py``) and streaming checkpoints, but a batch match job
+over 10^6 queries restarted from zero — this module closes that gap
+(round-5 verdict item 4).
+
+Spark-first shape: queries are hashed into deterministic GROUPS
+(``pmod(xxhash64(query_id), n_groups)`` — stable across runs and
+independent of input partitioning); each group runs as one normal
+distributed top-k job (WAND or brute) and commits its results
+parquet + a manifest (rows, an order-independent value digest, wall
+seconds) ATOMICALLY (results first, manifest last — a crash between
+the two re-runs the group idempotently, the dynamic overwrite
+replaces any partial files). A restart anti-skips committed groups by
+manifest presence, so only unfinished groups recompute, and the final
+union is byte-identical to an uninterrupted run (the kernels are
+deterministic and per-group placement is content-hashed).
+
+At 100 TB: group count bounds checkpoint granularity (recompute on
+failure ≤ one group's queries) while each group's work is still a
+fully distributed Spark job — this is coarse-grained driver-level
+checkpointing layered over Spark's own intra-job retry, exactly the
+reference's chunk loop re-expressed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
+    SegmentIndex,
+    _atomic_write_json,
+    segment_topk,
+)
+from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.wand import (
+    RESULT_SCHEMA,
+    wand_topk,
+)
+
+
+def _result_schema(mode: str, micro: bool) -> T.StructType:
+    if mode == "wand":
+        fields = [
+            f if f.name != "score"
+            else T.StructField("score_micro" if micro else "score",
+                               T.LongType() if micro else T.DoubleType())
+            for f in RESULT_SCHEMA
+        ]
+        return T.StructType(fields)
+    # brute (segment_topk) schema
+    if micro:
+        return T.StructType([
+            T.StructField("query_id", T.StringType()),
+            T.StructField("rank", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("score_micro", T.LongType()),
+            T.StructField("matched_terms", T.LongType()),
+        ])
+    return T.StructType([
+        T.StructField("query_id", T.StringType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("matched_terms", T.LongType()),
+    ])
+
+
+def batch_match_resumable(
+    index: SegmentIndex,
+    queries: DataFrame,
+    out_dir: str,
+    k: int = 10,
+    n_groups: int = 8,
+    mode: str = "wand",
+    micro: bool = False,
+    groups: list[int] | None = None,
+) -> DataFrame:
+    """Top-k for every query, committed group-by-group and resumable.
+
+    ``groups`` limits this invocation to a subset of group ids (tests
+    use it to simulate a mid-batch kill, like ``buckets`` on the
+    build); a real deployment passes None. Returns the union of every
+    COMMITTED group's results — after an un-limited run, that is the
+    complete batch.
+    """
+    if mode not in ("wand", "brute"):
+        raise ValueError(f"mode must be 'wand' or 'brute', got {mode!r}")
+    spark = index.spark
+    os.makedirs(f"{out_dir}/manifests", exist_ok=True)
+    grp = F.pmod(F.xxhash64(F.col("query_id")), F.lit(n_groups)).cast("int")
+    qg = queries.withColumn("_grp", grp)
+
+    todo = list(range(n_groups)) if groups is None else sorted(groups)
+    meta_path = f"{out_dir}/manifests/batch.json"
+    if os.path.exists(meta_path):
+        meta = json.load(open(meta_path))
+        if (meta["n_groups"] != n_groups or meta["k"] != k
+                or meta["mode"] != mode or meta["micro"] != micro
+                or meta["index_version"] != index.version):
+            raise ValueError(
+                "resuming a batch with different parameters than it was "
+                f"started with: {meta} vs n_groups={n_groups} k={k} "
+                f"mode={mode} micro={micro} index_version={index.version}"
+            )
+    else:
+        _atomic_write_json(meta_path, {
+            "n_groups": n_groups, "k": k, "mode": mode, "micro": micro,
+            "index_version": index.version,
+        })
+
+    for g in todo:
+        mpath = f"{out_dir}/manifests/grp_{g}.json"
+        if os.path.exists(mpath):
+            continue  # committed — the resume skip (Matching.py:96)
+        qs = qg.filter(F.col("_grp") == g).drop("_grp")
+        t0 = time.monotonic()
+        res = (
+            wand_topk(index, qs, k=k, micro=micro) if mode == "wand"
+            else segment_topk(index, qs, k=k, micro=micro)
+        )
+        rpath = f"{out_dir}/results/grp_{g}"
+        res.write.mode("overwrite").parquet(rpath)
+        # digest from the WRITTEN files (order-independent xor over
+        # every value cell) — proves rerun-vs-uninterrupted identity
+        # without holding results in memory
+        written = spark.read.parquet(rpath)
+        row = written.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64(*written.columns)), F.lit(0)
+            ).alias("digest"),
+        ).collect()[0]
+        _atomic_write_json(mpath, {
+            "group": g,
+            "rows": int(row["n"]),
+            "digest": int(row["digest"]),
+            "wall_sec": round(time.monotonic() - t0, 3),
+            "status": "committed",
+        })
+
+    done = [
+        g for g in range(n_groups)
+        if os.path.exists(f"{out_dir}/manifests/grp_{g}.json")
+    ]
+    schema = _result_schema(mode, micro)
+    parts = [
+        f"{out_dir}/results/grp_{g}" for g in done
+        if any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(f"{out_dir}/results/grp_{g}")
+            for f in files
+        )
+    ]
+    if not parts:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*parts)
+
+
+def batch_progress(out_dir: str) -> dict:
+    """Checkpoint inspection: committed groups + their metrics."""
+    mdir = f"{out_dir}/manifests"
+    out = {"groups": {}, "params": None}
+    if os.path.exists(f"{mdir}/batch.json"):
+        out["params"] = json.load(open(f"{mdir}/batch.json"))
+    if os.path.isdir(mdir):
+        for name in sorted(os.listdir(mdir)):
+            if name.startswith("grp_"):
+                m = json.load(open(f"{mdir}/{name}"))
+                out["groups"][m["group"]] = m
+    return out

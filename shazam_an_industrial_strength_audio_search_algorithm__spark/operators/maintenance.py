@@ -85,6 +85,7 @@ def apply_updates(
     resume: bool = False,
     mode: str = "rebuild",
     assume_unique: bool = False,
+    auto_compact: "CompactionPolicy | None" = None,
 ) -> UpdateReport:
     """MERGE-equivalent maintenance producing snapshot v+1.
 
@@ -108,6 +109,12 @@ def apply_updates(
       postings); ``maintenance.compact()`` later multi-way-merges
       the layers back to one generation (Lucene segment-merge
       analog, the reference's ``Combine.py:55-62`` consolidation).
+
+    ``auto_compact``: a ``CompactionPolicy`` — after this update
+    commits, ``maybe_compact`` runs under it, so a continuously
+    upserting pipeline keeps ``wand_topk`` servable without manual
+    compaction calls (the policy-fired compactions appear in the
+    snapshot log with ``trigger="policy:..."``).
     """
     if mode not in ("rebuild", "delta"):
         raise ValueError(f"mode must be 'rebuild' or 'delta', got {mode!r}")
@@ -395,6 +402,10 @@ def apply_updates(
             },
         )
         _write_current(index_dir, version)
+    if version is not None and auto_compact is not None:
+        report = maybe_compact(spark, index_dir, auto_compact)
+        if report is not None and report.snapshot_version is not None:
+            version = report.snapshot_version
     return UpdateReport(
         snapshot_version=version,
         affected_buckets=affected,
@@ -418,6 +429,9 @@ def compact(
     spark: SparkSession,
     index_dir: str,
     resume: bool = False,
+    n_buckets: int | str | None = None,
+    block_size: int | str | None = None,
+    trigger: str = "manual",
 ) -> CompactReport:
     """Multi-way sorted merge of the delta layers back into one
     generation — the Lucene segment-merge / reference consolidation
@@ -440,11 +454,43 @@ def compact(
     docs) are merged; the rest inherit by path. Resumable per bucket
     via manifests, like the build. Global stats are unchanged (the
     updates maintained doc_lens/n_docs/avgdl exactly).
+
+    RE-BUCKETING (round 5): ``n_buckets``/``block_size`` accept an
+    int, ``"auto"`` (the data-aware policy ``segments.auto_n_buckets``
+    / ``auto_block_size`` evaluated at the CURRENT doc count), or
+    None (keep the base layout). When the resolved target differs
+    from the base, the compaction re-shards: every term re-hashes
+    into the new bucket count, so ALL buckets rebuild in one pass —
+    the corpus is still never re-tokenized (the merge input is the
+    decoded segments). This is how a growing index keeps per-bucket
+    posting volume ~constant (the serving-latency driver measured in
+    the round-4 knob study) without hand-tuning.
+
+    ``trigger`` is recorded in the snapshot (``"manual"`` vs
+    ``"policy"`` from ``maybe_compact``) so the snapshot log shows
+    which compactions the auto-policy fired.
     """
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
+        auto_block_size,
+        auto_n_buckets,
+    )
+
     base = SegmentIndex.open(spark, index_dir)
     snap = base.snapshot
     layers = snap.get("layers") or []
-    if not layers:
+    target_buckets = (
+        auto_n_buckets(base.n_docs) if n_buckets == "auto"
+        else int(n_buckets) if n_buckets is not None
+        else snap["n_buckets"]
+    )
+    target_block = (
+        auto_block_size(base.n_docs) if block_size == "auto"
+        else int(block_size) if block_size is not None
+        else snap["block_size"]
+    )
+    rebucket = (target_buckets != snap["n_buckets"]
+                or target_block != snap["block_size"])
+    if not layers and not rebucket:
         return CompactReport(
             snapshot_version=None, affected_buckets=[], built_buckets=[],
             skipped_buckets=[], n_layers_merged=0,
@@ -458,28 +504,37 @@ def compact(
 
     phase_a_done = resume and os.path.exists(params_path)
     if not phase_a_done:
-        affected: set[int] = set()
-        for layer in layers:
-            affected.update(int(b) for b in layer.get("buckets", {}))
-        tomb = base.tombstones()
-        if tomb is not None:
-            # buckets whose BASE postings lost docs: probe the base
-            # generation's doc_terms (layer buckets are in already)
-            base_dt = base._scan_map("doc_terms", snap["buckets"], None,
-                                     strict=True)
-            if base_dt is not None:
-                affected.update(
-                    r["bucket"]
-                    for r in base_dt.join(
-                        F.broadcast(tomb.select("doc_id").distinct()),
-                        "doc_id", "left_semi",
-                    ).select("bucket").distinct().collect()
-                )
-        affected_l = sorted(affected)
+        if rebucket:
+            # re-shard: every term may move — all target buckets build
+            affected_l = list(range(target_buckets))
+            merged = base.merged_doc_terms(None).drop("bucket")
+            merged = merged.withColumn(
+                "bucket", bucket_col(F.col("term"), target_buckets)
+            )
+        else:
+            affected: set[int] = set()
+            for layer in layers:
+                affected.update(int(b) for b in layer.get("buckets", {}))
+            tomb = base.tombstones()
+            if tomb is not None:
+                # buckets whose BASE postings lost docs: probe the base
+                # generation's doc_terms (layer buckets are in already)
+                base_dt = base._scan_map("doc_terms", snap["buckets"], None,
+                                         strict=True)
+                if base_dt is not None:
+                    affected.update(
+                        r["bucket"]
+                        for r in base_dt.join(
+                            F.broadcast(tomb.select("doc_id").distinct()),
+                            "doc_id", "left_semi",
+                        ).select("bucket").distinct().collect()
+                    )
+            affected_l = sorted(affected)
+            merged = base.merged_doc_terms(affected_l)
         # the merge: layered decode + tombstone resolve, written once
         # as the new generation's doc_terms
         (
-            base.merged_doc_terms(affected_l)
+            merged
             .repartition(max(1, len(affected_l)), "bucket")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -501,11 +556,18 @@ def compact(
                 "base_version": base.version,
                 "affected_buckets": affected_l,
                 "dl_consolidated": has_dl_layers,
+                "n_buckets": target_buckets,
+                "block_size": target_block,
+                "rebucket": rebucket,
             },
         )
     params = json.load(open(params_path))
     affected = params["affected_buckets"]
     base_snap = read_snapshot(index_dir, params["base_version"])
+    # a resumed compaction uses the layout it was STARTED with
+    target_buckets = params.get("n_buckets", base_snap["n_buckets"])
+    target_block = params.get("block_size", base_snap["block_size"])
+    rebucket = params.get("rebucket", False)
 
     skipped = [
         b for b in affected
@@ -519,7 +581,7 @@ def compact(
             avgdl=base_snap["avgdl"], n_docs=base_snap["n_docs"],
             hot_df=base_snap["hot_df"],
             max_salt_bits=base_snap["max_salt_bits"],
-            block_size=base_snap["block_size"],
+            block_size=target_block,
             store_positions=base_snap.get("store_positions", False),
         )
 
@@ -529,20 +591,30 @@ def compact(
     version = None
     if done:
         version = new_version
-        buckets_map = dict(base_snap["buckets"])
-        for b in affected:
-            buckets_map[str(b)] = {
-                "doc_terms": f"data/dt_{gen}/bucket={b}",
-                "segments": f"data/seg_{gen}/bucket={b}",
+        if rebucket:
+            # bucket assignment changed: nothing inherits by path
+            buckets_map = {
+                str(b): {
+                    "doc_terms": f"data/dt_{gen}/bucket={b}",
+                    "segments": f"data/seg_{gen}/bucket={b}",
+                }
+                for b in range(target_buckets)
             }
+        else:
+            buckets_map = dict(base_snap["buckets"])
+            for b in affected:
+                buckets_map[str(b)] = {
+                    "doc_terms": f"data/dt_{gen}/bucket={b}",
+                    "segments": f"data/seg_{gen}/bucket={b}",
+                }
         _atomic_write_json(
             f"{index_dir}/snapshots/v{version}.json",
             {
                 "n_docs": base_snap["n_docs"],
                 "sum_dl": base_snap.get("sum_dl"),
                 "avgdl": base_snap["avgdl"],
-                "n_buckets": base_snap["n_buckets"],
-                "block_size": base_snap["block_size"],
+                "n_buckets": target_buckets,
+                "block_size": target_block,
                 "hot_df": base_snap["hot_df"],
                 "max_salt_bits": base_snap["max_salt_bits"],
                 "store_positions": base_snap.get("store_positions", False),
@@ -554,6 +626,8 @@ def compact(
                 "layers": [],
                 "parent": params["base_version"],
                 "operation": "compact",
+                "trigger": trigger,
+                "rebucketed": rebucket,
             },
         )
         _write_current(index_dir, version)
@@ -563,6 +637,83 @@ def compact(
         built_buckets=built,
         skipped_buckets=skipped,
         n_layers_merged=len(layers),
+    )
+
+
+@dataclass
+class CompactionPolicy:
+    """When to fold delta layers back into one generation (round-5
+    verdict item 3: a WAND-serving pipeline that keeps upserting must
+    never wedge on wand_topk's has_deltas refusal).
+
+    - ``max_layers``: compact when the snapshot holds ≥ this many
+      delta layers (each layer adds a per-query union + tombstone
+      resolve to merge-on-read paths).
+    - ``max_delta_frac``: compact when accumulated delta postings
+      exceed this fraction of the base size (proxied by the
+      snapshot's ``sum_dl`` total-token count — exact delta posting
+      counts come from the layers' committed manifests, so the check
+      reads a handful of small json files, never data).
+    - ``rebucket``: also re-evaluate the data-aware bucket/block
+      policy at compaction time (``"auto"``), so a corpus that grew
+      past a policy threshold re-shards in the same pass; None keeps
+      the base layout.
+    """
+
+    max_layers: int = 3
+    max_delta_frac: float = 0.25
+    rebucket: str | None = "auto"
+
+
+def _delta_postings(index_dir: str, layers: list[dict]) -> int:
+    total = 0
+    for layer in layers:
+        gen = layer.get("gen")
+        for b in layer.get("buckets", {}):
+            p = f"{index_dir}/manifests/{gen}/bucket_{b}.json"
+            try:
+                total += int(json.load(open(p)).get("n_postings", 0))
+            except (OSError, ValueError):
+                # missing/corrupt manifest: treat as over-threshold —
+                # compacting is always safe, serving layered is not
+                return 1 << 62
+    return total
+
+
+def should_compact(spark: SparkSession, index_dir: str,
+                   policy: CompactionPolicy | None = None) -> str | None:
+    """Reason string if the policy says compact now, else None."""
+    policy = policy or CompactionPolicy()
+    snap = read_snapshot(index_dir, _read_current_version(index_dir))
+    layers = snap.get("layers") or []
+    if not layers:
+        return None
+    if len(layers) >= policy.max_layers:
+        return f"layers={len(layers)}>=max_layers={policy.max_layers}"
+    base_size = int(snap.get("sum_dl") or 0)
+    if base_size > 0:
+        delta = _delta_postings(index_dir, layers)
+        if delta > policy.max_delta_frac * base_size:
+            return (f"delta_postings={delta}>"
+                    f"{policy.max_delta_frac}*sum_dl={base_size}")
+    return None
+
+
+def maybe_compact(spark: SparkSession, index_dir: str,
+                  policy: CompactionPolicy | None = None,
+                  ) -> CompactReport | None:
+    """Policy-gated compaction: the hook a continuously-upserting
+    pipeline calls after each commit (or passes to ``apply_updates``
+    via ``auto_compact=``). Fires ``compact(trigger="policy")`` —
+    visible in ``snapshot_log`` — when ``should_compact`` says so."""
+    policy = policy or CompactionPolicy()
+    reason = should_compact(spark, index_dir, policy)
+    if reason is None:
+        return None
+    return compact(
+        spark, index_dir,
+        n_buckets=policy.rebucket, block_size=policy.rebucket,
+        trigger=f"policy:{reason}",
     )
 
 

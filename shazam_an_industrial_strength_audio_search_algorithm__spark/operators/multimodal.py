@@ -162,6 +162,43 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, dict]:
     return samples, {"fmt": "wav", "scale": 32768.0, **fmt}
 
 
+def _postprocess_audio(samples: np.ndarray, meta: dict,
+                       target_rate: int) -> tuple[np.ndarray, dict]:
+    """Channel/rate normalization after the raw PCM parse — the
+    reference mono-mixes multi-channel audio and resamples to its
+    configured rate before featurization
+    (``/root/reference/utils/_helper_basics_.py:102-108``). Here:
+
+    - de-interleave + MEAN-MIX to mono (integer floor mean across
+      channels, so the value stream stays int64 and the DuckDB oracle
+      can recompute it exactly);
+    - integer-ratio DOWNsample to ``target_rate`` via block floor-mean
+      (the library-free stand-in for a filtered resample; partial
+      trailing blocks are dropped). Non-integer ratios and upsampling
+      genuinely need a DSP library → ``NotImplementedError`` (routed
+      to the ``unsupported`` quarantine, same as compressed codecs).
+    """
+    ch = int(meta["channels"])
+    if ch > 1:
+        samples = samples.reshape(-1, ch).sum(axis=1) // ch
+    src_rate = int(meta["sample_rate"])
+    if src_rate != target_rate:
+        if src_rate % target_rate:
+            raise NotImplementedError(
+                f"wav: resample {src_rate}->{target_rate} Hz is not an "
+                "integer-ratio downsample; needs a DSP library"
+            )
+        r = src_rate // target_rate
+        samples = samples[: (samples.size // r) * r]
+        samples = samples.reshape(-1, r).sum(axis=1) // r
+    out_meta = dict(meta)
+    out_meta.update(
+        channels=1, sample_rate=target_rate,
+        src_channels=ch, src_sample_rate=src_rate,
+    )
+    return samples, out_meta
+
+
 def _decode_ppm(payload: bytes) -> tuple[np.ndarray, dict]:
     """Binary PPM (P6) parser: whitespace/comment-tolerant header,
     exact-length raw RGB validation."""
@@ -198,19 +235,27 @@ def _decode_ppm(payload: bytes) -> tuple[np.ndarray, dict]:
                     "width": w, "height": h, "maxval": maxval}
 
 
-def decode_media(payload: bytes) -> tuple[np.ndarray, dict]:
+def decode_media(payload: bytes,
+                 target_rate: int | None = None) -> tuple[np.ndarray, dict]:
     """Decode a media payload to its scalar value stream + metadata.
 
     Real for uncompressed containers (RIFF/WAV PCM16, binary PPM);
     ``NotImplementedError`` for recognized compressed formats (no
     codec library in this environment — the honest stub, now scoped
     to exactly the formats that need one); ``ValueError`` for corrupt
-    or unknown bytes. ↔ the reference's ``read_audio`` + its decode
-    error skip (``_helper_basics_.py:62-113``, ``Matching.py:113-117``).
+    or unknown bytes. Audio is normalized after the parse — mono
+    mean-mix + integer-ratio downsample to ``target_rate`` (default
+    ``SAMPLE_RATE``) — matching the reference's ``read_audio``
+    channel/rate normalization (``_helper_basics_.py:102-108``); its
+    decode-error skip is ``Matching.py:113-117``.
     """
     payload = bytes(payload)
     if payload[:4] == b"RIFF":
-        return _decode_wav(payload)
+        samples, meta = _decode_wav(payload)
+        return _postprocess_audio(
+            samples, meta,
+            SAMPLE_RATE if target_rate is None else target_rate,
+        )
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     for magic, name in _COMPRESSED_MAGICS:
@@ -269,32 +314,44 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
 # generator parameters — shared by the Spark synth, the tests, and the
 # DuckDB oracle (api.Q_MEDIA_DECODE_SQL recomputes the sample streams
 # from these same formulas over generate_series)
-WAV_BASE_N, WAV_MOD_N = 200, 57            # n_samples = 200 + id % 57
-WAV_A, WAV_B, WAV_C = 31, 17, 7            # s[i] = ((id*31+i*17+7) % 65536) - 32768
+WAV_BASE_N, WAV_MOD_N = 200, 57            # n_frames = 200 + id % 57
+WAV_A, WAV_B, WAV_C = 31, 17, 7            # s[c,i] = ((id*31+i*17+c*11+7) % 65536) - 32768
+WAV_D = 11                                 # per-channel offset coefficient
 PPM_W_BASE, PPM_W_MOD = 8, 9               # width  = 8 + id % 9
 PPM_H_BASE, PPM_H_MOD = 6, 7               # height = 6 + id % 7
 PPM_A, PPM_B = 7, 13                       # pix[i] = (id*7 + i*13) % 256
 CORRUPT_MOD, CORRUPT_RESIDUE = 13, 5       # id%13==5 → truncated payload
 SAMPLE_RATE = 8000
+# wav flavor sub-cycle within the wav kind (doc_id % 3 == 0):
+#   doc_id % 9 == 0 → mono    @ 8 kHz (identity normalization)
+#   doc_id % 9 == 3 → stereo  @ 8 kHz (mean-mix path)
+#   doc_id % 9 == 6 → mono    @ 16 kHz, 2n frames (2:1 downsample path)
+WAV_HI_RATE = 16000
 
 
-def synth_wav_bytes(doc_id: int) -> bytes:
-    """A real RIFF/WAVE PCM16 mono file whose samples are a pure
-    function of ``doc_id`` — decodable by ANY wav reader, and whose
-    decoded aggregate stats are recomputable in SQL."""
-    n = WAV_BASE_N + doc_id % WAV_MOD_N
-    i = np.arange(n, dtype=np.int64)
-    samples = ((doc_id * WAV_A + i * WAV_B + WAV_C) % 65536 - 32768).astype(
-        "<i2"
-    )
+def synth_wav_bytes(doc_id: int, channels: int = 1,
+                    sample_rate: int = SAMPLE_RATE,
+                    n_frames: int | None = None) -> bytes:
+    """A real RIFF/WAVE PCM16 file whose samples are a pure function
+    of ``doc_id`` — decodable by ANY wav reader, and whose decoded
+    aggregate stats are recomputable in SQL. Channel ``c`` of frame
+    ``i`` is ``((id*31 + i*17 + c*11 + 7) % 65536) - 32768``
+    (``c=0`` reproduces the original mono fixture byte-for-byte)."""
+    n = WAV_BASE_N + doc_id % WAV_MOD_N if n_frames is None else n_frames
+    i = np.arange(n, dtype=np.int64)[:, None]
+    c = np.arange(channels, dtype=np.int64)[None, :]
+    samples = (
+        (doc_id * WAV_A + i * WAV_B + c * WAV_D + WAV_C) % 65536 - 32768
+    ).astype("<i2")  # (n_frames, channels) row-major == interleaved
     data = samples.tobytes()
+    block_align = 2 * channels
     hdr = (
         b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
         + b"fmt " + (16).to_bytes(4, "little")
-        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
-        + SAMPLE_RATE.to_bytes(4, "little")
-        + (SAMPLE_RATE * 2).to_bytes(4, "little")
-        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + (16).to_bytes(2, "little")
         + b"data" + len(data).to_bytes(4, "little")
     )
     return hdr + data
@@ -313,10 +370,12 @@ def synth_ppm_bytes(doc_id: int) -> bytes:
 def synth_real_media(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Deterministic REAL media table: every third doc gets a genuine
-    WAV (PCM16), every third a genuine PPM (P6), every third an opaque
-    ``bin`` payload (the still-stubbed compressed-format stand-in);
-    docs with ``doc_id % 13 == 5`` (wav/ppm only) are TRUNCATED to 9
-    bytes — the corrupt-input fixture for the quarantine path."""
+    WAV (PCM16 — cycling mono@8k / stereo@8k / mono@16k-2n flavors so
+    the mean-mix and downsample normalization paths are exercised),
+    every third a genuine PPM (P6), every third an opaque ``bin``
+    payload (the still-stubbed compressed-format stand-in); docs with
+    ``doc_id % 13 == 5`` (wav/ppm only) are TRUNCATED to 9 bytes —
+    the corrupt-input fixture for the quarantine path."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -325,7 +384,17 @@ def synth_real_media(df: DataFrame, id_col: str = "doc_id",
                 doc_id = int(doc_id)
                 k = doc_id % 3
                 if k == 0:
-                    kind, payload = "wav", synth_wav_bytes(doc_id)
+                    flavor = doc_id % 9
+                    if flavor == 3:
+                        payload = synth_wav_bytes(doc_id, channels=2)
+                    elif flavor == 6:
+                        payload = synth_wav_bytes(
+                            doc_id, sample_rate=WAV_HI_RATE,
+                            n_frames=2 * (WAV_BASE_N + doc_id % WAV_MOD_N),
+                        )
+                    else:
+                        payload = synth_wav_bytes(doc_id)
+                    kind = "wav"
                 elif k == 1:
                     kind, payload = "ppm", synth_ppm_bytes(doc_id)
                 else:

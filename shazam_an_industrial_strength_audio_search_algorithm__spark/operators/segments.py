@@ -81,6 +81,42 @@ from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.index
 )
 
 BLOCK_SIZE = 128
+
+# ---------------------------------------------------------------------------
+# data-aware layout policy (round-5: verdict item 2)
+# ---------------------------------------------------------------------------
+# The round-4 serving campaign measured that per-bucket posting volume
+# is what drives tuned WAND latency (1.78×/doubling when buckets are
+# fixed), and that bucket count, block size and query group count must
+# scale TOGETHER (BENCH/BASELINE.md §scale-stress round 4: 4M docs at
+# 128 buckets + 256-block + 128 groups = 962 ms/q vs 1892 default).
+# These policies encode that lesson as the build-time default:
+# DOCS_PER_BUCKET reproduces the measured optimum (4M → 128 buckets,
+# 2M → 64, 1M → 32) and holds per-bucket volume ~constant as the
+# corpus grows; wand_topk's group default (max(shuffle_partitions,
+# n_buckets)) then scales the query side automatically.
+DOCS_PER_BUCKET = 32_768
+MIN_BUCKETS, MAX_BUCKETS = 8, 4096
+BIG_CORPUS_DOCS = 1_000_000  # block_size 128 → 256 crossover
+
+
+def auto_n_buckets(n_docs: int) -> int:
+    """Bucket count for a corpus of ``n_docs``: next power of two of
+    n_docs / DOCS_PER_BUCKET, clamped to [MIN_BUCKETS, MAX_BUCKETS].
+    Power-of-two keeps re-bucketing compactions cheap to reason about
+    and the clamp keeps tiny corpora at the well-tested default."""
+    import math
+
+    need = max(1, math.ceil(int(n_docs) / DOCS_PER_BUCKET))
+    return max(MIN_BUCKETS, min(MAX_BUCKETS, 1 << (need - 1).bit_length()))
+
+
+def auto_block_size(n_docs: int) -> int:
+    """Posting-block length policy: 128 below 1M docs (decode
+    granularity favors pruning), 256 at/above (fewer block rows
+    through the encode shuffle and the probe scan — the measured
+    large-corpus knob from the round-4 study)."""
+    return 256 if int(n_docs) >= BIG_CORPUS_DOCS else BLOCK_SIZE
 SIGN_FLIP = -(2**63)  # XOR with the sign bit maps signed order to unsigned order
 
 BLOCK_CORE_SCHEMA = T.StructType(
@@ -516,10 +552,10 @@ def build_segment_index(
     spark: SparkSession,
     corpus: DataFrame,
     index_dir: str,
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
     hot_df: int = 2048,
     max_salt_bits: int = 6,
-    block_size: int = BLOCK_SIZE,
+    block_size: int | None = None,
     resume: bool = False,
     id_col: str = "doc_id",
     text_col: str = "content",
@@ -583,6 +619,16 @@ def build_segment_index(
     dt_path = f"{index_dir}/data/dt_{gen}"
     dl_path = f"{index_dir}/data/dl_{gen}"
     phase_a_done = resume and os.path.exists(params_path)
+    if not phase_a_done and (n_buckets is None or block_size is None):
+        # data-aware defaults (verdict r4 item 2): one cheap count of
+        # the input sizes the layout so per-bucket posting volume
+        # stays ~constant as corpora grow — nothing to hand-tune at
+        # 100 TB. Explicit knobs and resumed builds skip the count.
+        n_est = corpus.count()
+        if n_buckets is None:
+            n_buckets = auto_n_buckets(n_est)
+        if block_size is None:
+            block_size = auto_block_size(n_est)
     if not phase_a_done:
         import shutil as _shutil
 
@@ -1214,6 +1260,43 @@ class SegmentIndex:
         return idf_py(df, self.n_docs)
 
 
+EST_BYTES_PER_CANDIDATE_ROW = 48  # doc_id + tf + doc_len + query_id
+#                                   + shuffle framing, conservative
+
+
+def estimate_brute_materialization(index: SegmentIndex,
+                                   qt: DataFrame) -> dict:
+    """Candidate-row estimate for a brute top-k over ``qt``
+    ((query_id, term) pairs): every posting of a term materializes
+    once per query containing it — exactly the intermediate state the
+    score shuffle spills. One metadata-only job (bucket-pruned block
+    stats; payloads never read)."""
+    per_term_q = qt.groupBy("term").agg(F.count(F.lit(1)).alias("nq"))
+    blocks = index.blocks_for_query_terms(qt).select("term", "n_docs")
+    row = blocks.join(F.broadcast(per_term_q), "term").agg(
+        F.coalesce(F.sum(F.col("n_docs") * F.col("nq")), F.lit(0))
+        .alias("rows")
+    ).collect()[0]
+    rows = int(row["rows"])
+    return {"rows": rows, "bytes": rows * EST_BYTES_PER_CANDIDATE_ROW}
+
+
+def _scratch_budget_bytes(spark: SparkSession) -> int | None:
+    """Scratch budget for fail-fast checks: env override
+    ``SPARK_GRAFT_SCRATCH_BUDGET_BYTES`` (``0``/``none`` disables),
+    else half the free space on the shuffle scratch volume."""
+    env = os.environ.get("SPARK_GRAFT_SCRATCH_BUDGET_BYTES")
+    if env is not None:
+        if env.strip().lower() in ("0", "none", ""):
+            return None
+        return int(env)
+    local = spark.conf.get("spark.local.dir", None) or "/tmp"
+    try:
+        return shutil.disk_usage(local.split(",")[0]).free // 2
+    except OSError:
+        return None
+
+
 def segment_topk(
     index: SegmentIndex,
     queries: DataFrame,
@@ -1221,6 +1304,7 @@ def segment_topk(
     id_col: str = "query_id",
     text_col: str = "text",
     micro: bool = False,
+    scratch_check: bool = True,
 ) -> DataFrame:
     """BM25 top-k over the persisted segment index.
 
@@ -1236,12 +1320,37 @@ def segment_topk(
     fold-order-independent convention every oracle-gated path
     shares): output column becomes ``score_micro`` (long) and rank is
     long, matching the driver-gate schema.
+
+    ``scratch_check`` (round-5 item 8): the un-pruned path
+    materializes ~(postings × queries-per-term) candidate rows
+    through the score shuffle — at 4M docs that exhausted a 50 GB
+    scratch volume (ENOSPC ×2, BENCH/BASELINE.md §round-4) while WAND
+    completed. The estimated materialization is checked against the
+    scratch budget (env ``SPARK_GRAFT_SCRATCH_BUDGET_BYTES``, or half
+    the free scratch space) and fails FAST with a pointer at
+    ``wand_topk`` instead of dying hours in. One metadata-only job;
+    pass False to skip.
     """
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.topk import (
         query_terms,
     )
 
     qt = query_terms(queries, id_col, text_col)
+    if scratch_check:
+        budget = _scratch_budget_bytes(index.spark)
+        if budget is not None:
+            est = estimate_brute_materialization(index, qt)
+            if est["bytes"] > budget:
+                raise RuntimeError(
+                    f"brute top-k would materialize ~{est['rows']:,} "
+                    f"candidate rows (~{est['bytes'] / 1e9:.1f} GB) "
+                    "through the score shuffle — over the scratch "
+                    f"budget ({budget / 1e9:.1f} GB). Use wand_topk "
+                    "(block-max pruned; completed at 4M docs where "
+                    "this path ENOSPC'd) or raise "
+                    "SPARK_GRAFT_SCRATCH_BUDGET_BYTES / pass "
+                    "scratch_check=False to force."
+                )
     postings = index.postings_for_query_terms(qt)
     term_score = score_col(F.col("tf"), F.col("df"), F.col("doc_len"),
                            index.n_docs, index.avgdl)

@@ -49,6 +49,7 @@ def stream_ingest(
     max_files_per_trigger: int | None = None,
     mode: str = "delta",
     compact_every: int | None = None,
+    compact_policy=None,
 ):
     """Ingest corpus parquet files appearing under ``source_dir`` into
     the segment index at ``index_dir`` (which must already hold a
@@ -60,10 +61,14 @@ def stream_ingest(
     keeps a continuous stream viable against a 100 TB index.
     ``compact_every=N`` folds the accumulated layers back into one
     generation after every N batches (the Lucene tiered-merge cadence,
-    coarse-grained); leave None and run ``maintenance.compact()`` on
-    your own schedule. ``mode="rebuild"`` re-encodes affected buckets
-    per batch (copy-on-write; keeps the index WAND-ready at all times
-    at much higher write amplification).
+    coarse-grained); ``compact_policy`` (a
+    ``maintenance.CompactionPolicy``) instead compacts by MEASURED
+    state — layer count / accumulated delta volume — after each batch
+    (round-5 item 3: a WAND-serving pipeline can never wedge on the
+    has_deltas refusal). Leave both None and run
+    ``maintenance.compact()`` on your own schedule. ``mode="rebuild"``
+    re-encodes affected buckets per batch (copy-on-write; keeps the
+    index WAND-ready at all times at much higher write amplification).
 
     Exactly-once still holds in delta mode: a replayed micro-batch
     re-applies the same keys, whose tombstone supersession makes the
@@ -108,7 +113,7 @@ def stream_ingest(
         # assume_unique: the window above just deduped by key — skip
         # apply_updates' per-batch uniqueness probe job
         apply_updates(spark, index_dir, add_corpus=deduped, mode=mode,
-                      assume_unique=True)
+                      assume_unique=True, auto_compact=compact_policy)
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact(spark, index_dir)
 

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.multimodal import (
     FEATURE_DIM,
+    WAV_HI_RATE,
+    _decode_wav,
     decode_media,
     decode_stats,
     extract_features,
@@ -26,6 +28,22 @@ from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.multi
 )
 
 SF = "/root/testdata/sf0.001"
+
+
+def _want_wav(mid: int) -> np.ndarray:
+    """Expected NORMALIZED value stream for synth_real_media's wav
+    flavors (mirrors the DuckDB oracle in api.Q_MEDIA_DECODE_SQL)."""
+    n = 200 + mid % 57
+    i = np.arange(n, dtype=np.int64)
+    if mid % 9 == 3:  # stereo @8k → mono mean-mix (floor)
+        a0 = (mid * 31 + i * 17 + 7) % 65536 - 32768
+        a1 = (mid * 31 + i * 17 + 11 + 7) % 65536 - 32768
+        return (a0 + a1) // 2
+    if mid % 9 == 6:  # mono @16k, 2n frames → 2:1 block-mean (floor)
+        j = np.arange(2 * n, dtype=np.int64)
+        s = (mid * 31 + j * 17 + 7) % 65536 - 32768
+        return (s[0::2] + s[1::2]) // 2
+    return (mid * 31 + i * 17 + 7) % 65536 - 32768
 
 
 @pytest.fixture(scope="module")
@@ -127,9 +145,9 @@ def test_decode_stub_is_honest_for_compressed_only():
 
 
 def test_wav_multichannel_and_word_alignment():
-    """Stereo PCM16 with an odd-sized LIST chunk before data: the
+    """Stereo PCM16 with an odd-sized LIST chunk before data: the raw
     chunk walker must word-align and the frame check must accept
-    whole stereo frames."""
+    whole stereo frames (raw parse, pre-normalization)."""
     samples = np.arange(-6, 6, dtype="<i2")  # 6 stereo frames
     data = samples.tobytes()
     chunks = (
@@ -141,9 +159,74 @@ def test_wav_multichannel_and_word_alignment():
         + b"data" + len(data).to_bytes(4, "little") + data
     )
     payload = b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
-    values, meta = decode_media(payload)
+    values, meta = _decode_wav(payload)
     assert meta["channels"] == 2 and meta["sample_rate"] == 44100
     assert (values == np.arange(-6, 6)).all()
+
+
+# ---------------------------------------------------------------------------
+# channel/rate normalization (↔ reference read_audio,
+# _helper_basics_.py:102-108: mono-mix + resample to target rate)
+# ---------------------------------------------------------------------------
+def test_wav_stereo_mean_mix():
+    for doc_id in (3, 12, 39):
+        values, meta = decode_media(synth_wav_bytes(doc_id, channels=2))
+        assert meta["src_channels"] == 2 and meta["channels"] == 1
+        assert meta["sample_rate"] == 8000
+        assert (values == _want_wav(doc_id)).all()
+
+
+def test_wav_integer_ratio_downsample():
+    for doc_id in (6, 15, 42):
+        n = 200 + doc_id % 57
+        values, meta = decode_media(
+            synth_wav_bytes(doc_id, sample_rate=WAV_HI_RATE,
+                            n_frames=2 * n)
+        )
+        assert meta["src_sample_rate"] == WAV_HI_RATE
+        assert meta["sample_rate"] == 8000
+        assert values.shape == (n,)
+        assert (values == _want_wav(doc_id)).all()
+
+
+def test_wav_downsample_drops_partial_tail_block():
+    values, _ = decode_media(
+        synth_wav_bytes(0, sample_rate=WAV_HI_RATE, n_frames=5)
+    )
+    assert values.shape == (2,)  # 5 frames @2:1 → 2 full blocks
+
+
+def test_wav_stereo_and_downsample_compose():
+    n = 8
+    values, meta = decode_media(
+        synth_wav_bytes(7, channels=2, sample_rate=WAV_HI_RATE,
+                        n_frames=2 * n)
+    )
+    j = np.arange(2 * n, dtype=np.int64)
+    a0 = (7 * 31 + j * 17 + 7) % 65536 - 32768
+    a1 = (7 * 31 + j * 17 + 11 + 7) % 65536 - 32768
+    mixed = (a0 + a1) // 2
+    want = (mixed[0::2] + mixed[1::2]) // 2
+    assert meta["src_channels"] == 2 and meta["src_sample_rate"] == WAV_HI_RATE
+    assert (values == want).all()
+
+
+def test_wav_non_integer_ratio_is_unsupported():
+    """44.1 kHz → 8 kHz is not an integer ratio, and 4 kHz → 8 kHz is
+    upsampling: both genuinely need a DSP library → the unsupported
+    quarantine (NotImplementedError), never a wrong answer."""
+    for rate in (44100, 4000):
+        with pytest.raises(NotImplementedError):
+            decode_media(synth_wav_bytes(0, sample_rate=rate))
+
+
+def test_wav_target_rate_override():
+    values, meta = decode_media(
+        synth_wav_bytes(0, sample_rate=WAV_HI_RATE, n_frames=10),
+        target_rate=WAV_HI_RATE,
+    )
+    assert meta["sample_rate"] == WAV_HI_RATE
+    assert values.shape == (10,)  # identity: no resample applied
 
 
 # ---------------------------------------------------------------------------
@@ -161,10 +244,8 @@ def test_decode_stats_statuses_and_values(spark, real_media):
             assert r["status"] == "unsupported" and r["fmt"] == "none"
         elif mid % 3 == 0:
             assert r["status"] == "ok" and r["fmt"] == "wav"
-            n = 200 + mid % 57
-            i = np.arange(n, dtype=np.int64)
-            want = (mid * 31 + i * 17 + 7) % 65536 - 32768
-            assert r["n_units"] == n
+            want = _want_wav(mid)  # flavor-aware: mono/stereo/16k
+            assert r["n_units"] == 200 + mid % 57
             assert r["val_sum"] == int(want.sum())
             assert r["val_min"] == int(want.min())
             assert r["val_max"] == int(want.max())
@@ -187,9 +268,7 @@ def test_feature_extraction_real_fake_and_quarantine(spark, real_media):
         assert len(f) == FEATURE_DIM
         assert all(0.0 <= x <= 1.0 for x in f)
         if mid % 3 == 0:  # wav: check one real band value end-to-end
-            n = 200 + mid % 57
-            i = np.arange(n, dtype=np.int64)
-            want = (mid * 31 + i * 17 + 7) % 65536 - 32768
+            want = _want_wav(mid)  # features see NORMALIZED samples
             chunk = np.array_split(want, FEATURE_DIM)[0]
             assert f[0] == pytest.approx(
                 round(float(np.abs(chunk).mean()) / 32768.0, 6), abs=1e-9
