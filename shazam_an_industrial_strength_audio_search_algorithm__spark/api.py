@@ -951,6 +951,109 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LAYERED_SEG_CACHE: dict[str, str] = {}
+
+
+def docs_layered_segment_index(spark: SparkSession, sf_dir: str):
+    """A merge-on-read twin of ``docs_segment_index`` whose ALIVE
+    corpus is exactly the ``documents`` table, reached through real
+    delta layers (built once per sf_dir per process):
+
+    - base build: one-in-seven docs (doc_id % 7 == 3) hold stale
+      placeholder text seeded with flagship-query terms, one-in-seven
+      (doc_id % 7 == 6) are missing entirely, and ghost docs
+      (doc_id % 13 == 5, id-offset) carrying flagship terms exist
+      ONLY to be deleted;
+    - u2 (delta): overwrite the placeholders with the true text and
+      add the missing docs — O(delta) write, base never rewritten;
+    - u3 (delta): delete the ghosts (tombstones only).
+
+    The tombstoned postings sit INSIDE the flagship query terms'
+    posting lists, so a layered serving path must resolve
+    supersession and recompute exact df to reproduce the oracle.
+    Updates run with ``explicit_ids=True``: the index keeps the
+    corpus's own doc_ids, so tie-breaks (score DESC, doc_id ASC)
+    stay oracle-identical."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.maintenance import (
+        apply_updates,
+    )
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
+        SegmentIndex,
+        build_segment_index,
+    )
+
+    if sf_dir not in _LAYERED_SEG_CACHE:
+        docs = load(spark, sf_dir, "documents").select(
+            F.lit("corpus").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.lit("txt").alias("lang"),
+            F.col("text").alias("content"),
+            F.col("doc_id"),
+        )
+        mod7 = F.pmod(F.col("doc_id"), F.lit(7))
+        stale = ("hash join merge sort window spark stale placeholder "
+                 "revision pending overwrite")
+        base = docs.filter(mod7 != 6).withColumn(
+            "content",
+            F.when(mod7 == 3, F.lit(stale)).otherwise(F.col("content")),
+        )
+        ghosts = docs.filter(F.pmod(F.col("doc_id"), F.lit(13)) == 5).select(
+            F.lit("ghost").alias("repo"),
+            F.col("path"),
+            F.lit("c0").alias("commit"),
+            F.lit("txt").alias("lang"),
+            F.lit("customer order line value table ghost filler entry")
+            .alias("content"),
+            (F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"),
+        )
+        d = _mk_tmpdir("driver_layeredidx_")
+        build_segment_index(
+            spark, base.unionByName(ghosts), d, n_buckets=4, hot_df=64,
+            block_size=64, id_col="doc_id", text_col="content",
+        )
+        apply_updates(
+            spark, d,
+            add_corpus=docs.filter((mod7 == 3) | (mod7 == 6)),
+            mode="delta", explicit_ids=True,
+        )
+        apply_updates(
+            spark, d, delete_keys=ghosts.select("doc_id"),
+            mode="delta", explicit_ids=True,
+        )
+        _LAYERED_SEG_CACHE[sf_dir] = d
+    return SegmentIndex.open(spark, _LAYERED_SEG_CACHE[sf_dir])
+
+
+def q_wand_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query through the pruned executor over a LAYERED
+    (merge-on-read) snapshot — overwrites, adds and deletes stacked
+    as two delta generations on a base whose stale/ghost postings
+    pollute the flagship terms' posting lists. WAND serves it
+    directly (round 5: per-(term, generation) pseudo-terms,
+    tombstone-resolved slices, exact df from per-generation stored df
+    minus tombstone-dead postings) and must hash-match the SAME
+    DuckDB oracle as every other flagship plan (Q_BM25_TOPK_SQL):
+    one oracle, FIVE physical plans. The gate therefore proves
+    merge-on-read never changes a score, rank or tie-break — upsert
+    pipelines serve WAND-pruned without a compaction barrier
+    (↔ the reference's update-then-requery cycle,
+    ``Hashing_update.py:60-81`` + ``Matching.py:122-131``)."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.wand import (
+        wand_topk,
+    )
+
+    idx = docs_layered_segment_index(spark, sf_dir)
+    res = wand_topk(idx, queries_df(spark), k=TOPK_K, micro=True)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        "score_micro",
+        F.col("matched_terms").cast("long").alias("matched_terms"),
+    )
+
+
 _STREAM_MATCH_CACHE: dict[str, str] = {}
 
 
@@ -2224,6 +2327,7 @@ QUERIES: dict[str, callable] = {
     "candidates": q_candidates,
     "bm25_topk": q_bm25_topk,
     "wand_topk": q_wand_topk,
+    "wand_layered": q_wand_layered,
     "match_or_nil": q_match_or_nil,
     "match_compat": q_match_compat,
     "match_classed": q_match_classed,
@@ -2266,7 +2370,6 @@ QUERIES: dict[str, callable] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_disk": q_ann_ivf_disk,
-    "ann_lsh_disk": q_ann_lsh_disk,
     "ann_lsh_delta": q_ann_lsh_delta,
     "ann_ivf_delta": q_ann_ivf_delta,
     # multimodal plumbing
@@ -2275,6 +2378,7 @@ QUERIES: dict[str, callable] = {
     "media_decode": q_media_decode,
     # --- tail: one-oracle-multi-plan twins (sibling plan in-window;
     # --- oracle-pinned for every entry by tests/test_driver_oracle.py)
+    "ann_lsh_disk": q_ann_lsh_disk,
     "bm25_segment": q_bm25_segment,
     "match_stats_dist": q_match_stats_dist,
     "positional_segment": q_positional_segment,
@@ -2289,6 +2393,10 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk": Q_BM25_TOPK_SQL,
     "bm25_segment": Q_BM25_TOPK_SQL,  # one oracle, three physical plans
     "wand_topk": Q_BM25_TOPK_SQL,  # the pruned executor vs the same truth
+    # the pruned executor over a LAYERED snapshot (overwrites + adds
+    # + deletes as delta generations) vs the same truth: one oracle,
+    # five physical plans
+    "wand_layered": Q_BM25_TOPK_SQL,
     # streamed WAND (file-source replay, 2 micro-batches) vs the same
     # truth again: one oracle, four physical plans
     "stream_match": Q_BM25_TOPK_SQL,

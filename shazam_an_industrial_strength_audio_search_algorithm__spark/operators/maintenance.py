@@ -86,6 +86,7 @@ def apply_updates(
     mode: str = "rebuild",
     assume_unique: bool = False,
     auto_compact: "CompactionPolicy | None" = None,
+    explicit_ids: bool = False,
 ) -> UpdateReport:
     """MERGE-equivalent maintenance producing snapshot v+1.
 
@@ -112,7 +113,7 @@ def apply_updates(
 
     ``auto_compact``: a ``CompactionPolicy`` — after this update
     commits, ``maybe_compact`` runs under it, so a continuously
-    upserting pipeline keeps ``wand_topk`` servable without manual
+    upserting pipeline keeps ``wand_topk`` at peak speed without manual
     compaction calls (the policy-fired compactions appear in the
     snapshot log with ``trigger="policy:..."``).
     """
@@ -138,18 +139,30 @@ def apply_updates(
     phase_a_done = resume and os.path.exists(params_path)
     if not phase_a_done:
         # --- doc ids being replaced or deleted -------------------------
+        # explicit_ids: the caller's rows already carry a stable
+        # ``doc_id`` (an index built with an explicit id_col — e.g.
+        # the driver corpus's own ids); hash mode derives it from the
+        # natural key, matching with_doc_id-built indexes
         removed_parts = []
         if delete_keys is not None:
             removed_parts.append(
-                with_doc_id(delete_keys.select(*KEY_COLS)).select("doc_id")
+                delete_keys.select("doc_id") if explicit_ids
+                else with_doc_id(delete_keys.select(*KEY_COLS))
+                .select("doc_id")
             )
         if add_corpus is not None:
             # assume_unique: trusted pre-deduped batches (streaming
             # ingest dedupes per micro-batch) skip the per-batch
             # uniqueness probe job (round-3 advice)
-            add_corpus = with_doc_id(
-                dedup_last_wins(add_corpus, assume_unique=assume_unique)
-            )
+            add_corpus = dedup_last_wins(add_corpus,
+                                         assume_unique=assume_unique)
+            if not explicit_ids:
+                add_corpus = with_doc_id(add_corpus)
+            elif "doc_id" not in add_corpus.columns:
+                raise ValueError(
+                    "explicit_ids=True requires a doc_id column on "
+                    "add_corpus"
+                )
             # overwrite-by-key: any incoming doc_id that already exists
             removed_parts.append(
                 add_corpus.select("doc_id").join(
@@ -642,9 +655,14 @@ def compact(
 
 @dataclass
 class CompactionPolicy:
-    """When to fold delta layers back into one generation (round-5
-    verdict item 3: a WAND-serving pipeline that keeps upserting must
-    never wedge on wand_topk's has_deltas refusal).
+    """When to fold delta layers back into one generation.
+
+    ``wand_topk`` serves layered snapshots exactly (round 5), so
+    compaction no longer gates servability — but each layer adds
+    pseudo-terms and tombstone work to every query, pruning loses
+    sharpness (stale block bounds keep dead postings' slack), and the
+    tombstone closure shipped to kernels is capped. The policy keeps
+    a continuously upserting pipeline at peak serving speed.
 
     - ``max_layers``: compact when the snapshot holds ≥ this many
       delta layers (each layer adds a per-query union + tombstone

@@ -34,6 +34,8 @@ end.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -66,27 +68,56 @@ RESULT_SCHEMA = T.StructType(
 
 
 class _Term:
-    """One term's blocks: boundary arrays + lazy per-block decode.
+    """One term-generation's blocks: boundary arrays + lazy per-block
+    decode.
 
     The decode cache lives on the instance, so in batched execution
     (one ``_Term`` per term shared by every query in the group) a
     block decodes at most once per group; ``requested`` tracks which
     blocks the CURRENT query actually needed (reset per query), so
-    per-query pruning counters stay meaningful under sharing."""
+    per-query pruning counters stay meaningful under sharing.
+
+    Layered (merge-on-read) snapshots instantiate one ``_Term`` per
+    (term, generation): within one generation blocks stay doc-range
+    disjoint and sorted (doc-id-range salts, segments.py), so the
+    interval machinery is unchanged — overlap across generations is
+    expressed as extra pseudo-terms, and a doc's postings live in
+    exactly one ALIVE generation per term (upserts tombstone the
+    older generations), so per-doc sums and ``matched_terms`` stay
+    exact. ``tomb`` = (sorted doc_ids, tomb_seq) arrays; a posting at
+    ``gen`` is dead iff its doc has a tombstone with seq > gen.
+    Deletions only SHRINK a block's true max score, so the stored
+    max_tf/min_dl bounds remain safe upper bounds without rewrite."""
 
     __slots__ = ("idf", "los", "his", "bounds", "payloads", "cache",
-                 "requested", "micro")
+                 "requested", "micro", "gen", "tomb", "raw_cache",
+                 "_bound_base")
 
-    def __init__(self, idf: float, g: pd.DataFrame, avgdl: float,
-                 micro: bool = False):
-        self.idf = idf
+    def __init__(self, idf: float | None, g: pd.DataFrame, avgdl: float,
+                 micro: bool = False, gen: int = 0,
+                 tomb: tuple[np.ndarray, np.ndarray] | None = None):
         self.micro = micro
+        self.gen = gen
+        self.tomb = tomb
         self.los = g["doc_id_lo"].to_numpy(np.int64)
         self.his = g["doc_id_hi"].to_numpy(np.int64)
         mt = g["max_tf"].to_numpy(np.float64)
         md = g["min_dl"].to_numpy(np.float64)
-        bounds = idf * (mt / (mt + K1 * (1.0 - B + B * md / avgdl)))
-        if micro:
+        # idf-free factor; set_idf scales it into the final bounds —
+        # on layered snapshots the exact idf is only known after the
+        # tombstone-dead df prepass ran over every generation
+        self._bound_base = mt / (mt + K1 * (1.0 - B + B * md / avgdl))
+        self.payloads = list(g["payload"])
+        self.cache: dict[int, tuple] = {}
+        self.raw_cache: dict[int, tuple] = {}
+        self.requested: set[int] = set()
+        if idf is not None:
+            self.set_idf(idf)
+
+    def set_idf(self, idf: float) -> None:
+        self.idf = idf
+        bounds = idf * self._bound_base
+        if self.micro:
             # integer micro-unit scoring: the per-posting contribution
             # is HALF_UP-rounded to micro BEFORE summing (the driver
             # oracle's order-independent convention); the block bound
@@ -94,25 +125,95 @@ class _Term:
             self.bounds = np.floor(bounds * 1e6 + 0.5).astype(np.int64) + 1
         else:
             self.bounds = bounds
-        self.payloads = list(g["payload"])
-        self.cache: dict[int, tuple] = {}
-        self.requested: set[int] = set()
+
+    def _raw(self, bi: int):
+        if bi not in self.raw_cache:
+            self.raw_cache[bi] = decode_block(bytes(self.payloads[bi]))
+        return self.raw_cache[bi]
+
+    def _alive_mask(self, ids: np.ndarray) -> np.ndarray | None:
+        """Boolean mask of postings NOT superseded by a tombstone, or
+        None when every posting is alive (fast path)."""
+        if self.tomb is None:
+            return None
+        t_ids, t_seqs = self.tomb
+        pos = np.searchsorted(t_ids, ids)
+        pos_c = np.minimum(pos, t_ids.size - 1)
+        hit = (pos < t_ids.size) & (t_ids[pos_c] == ids)
+        dead = hit & (t_seqs[pos_c] > self.gen)
+        if not dead.any():
+            return None
+        return ~dead
+
+    def dead_count(self, bi: int) -> int:
+        """Tombstone-superseded postings in block bi (df prepass)."""
+        ids, _, _ = self._raw(bi)
+        mask = self._alive_mask(ids)
+        return 0 if mask is None else int(ids.size - mask.sum())
 
     def slice(self, bi: int, start: np.int64, end: np.int64, avgdl: float):
-        """(doc_ids, contribs) of block bi restricted to [start, end]."""
+        """(doc_ids, contribs) of block bi restricted to [start, end],
+        tombstone-resolved on layered snapshots."""
         self.requested.add(bi)
         if bi not in self.cache:
-            ids, tfs, dls = decode_block(bytes(self.payloads[bi]))
+            ids, tfs, dls = self._raw(bi)
+            mask = self._alive_mask(ids)
+            if mask is not None:
+                ids, tfs, dls = ids[mask], tfs[mask], dls[mask]
             contribs = self.idf * (
                 tfs / (tfs + K1 * (1.0 - B + B * dls.astype(np.float64) / avgdl))
             )
             if self.micro:
                 contribs = np.floor(contribs * 1e6 + 0.5).astype(np.int64)
             self.cache[bi] = (ids, contribs)
+            # the raw decode is only re-read by the df prepass, which
+            # runs before any slicing — don't hold both copies
+            self.raw_cache.pop(bi, None)
         ids, contribs = self.cache[bi]
         s = int(np.searchsorted(ids, start, side="left"))
         e = int(np.searchsorted(ids, end, side="right"))
         return ids[s:e], contribs[s:e]
+
+
+def _pseudo_terms(g: pd.DataFrame, n_docs: int, avgdl: float,
+                  micro: bool,
+                  tomb: tuple[np.ndarray, np.ndarray] | None,
+                  ) -> list[_Term]:
+    """One term's block rows (layered: spanning generations) → the
+    list of ``_Term`` pseudo-terms sharing one EXACT idf.
+
+    Exact df on a merge-on-read snapshot = Σ per-generation stored df
+    − tombstone-superseded postings; the dead count decodes ONLY
+    blocks whose doc-id range contains a tombstoned doc (bounded by
+    delta size, and those decodes pre-warm the slice cache's raw
+    side) — the kernel twin of ``SegmentIndex._resolve_layers``'s df
+    recompute, without touching the un-tombstoned bulk. A term whose
+    alive df reaches 0 is dropped entirely (all postings dead)."""
+    pts: list[_Term] = []
+    df_total = 0
+    for gen, gg in g.groupby("gen_seq", sort=True):
+        g2 = gg.sort_values(["salt", "block_seq"])
+        df_total += int(g2["df"].iloc[0])
+        pts.append(_Term(None, g2, avgdl, micro=micro, gen=int(gen),
+                         tomb=tomb))
+    dead = 0
+    if tomb is not None:
+        t_ids, t_seqs = tomb
+        for pt in pts:
+            rel = t_ids[t_seqs > pt.gen]
+            if not rel.size:
+                continue
+            bi = np.searchsorted(pt.los, rel, side="right") - 1
+            ok = (bi >= 0) & (pt.his[np.clip(bi, 0, None)] >= rel)
+            for b in np.unique(bi[ok]):
+                dead += pt.dead_count(int(b))
+    df_exact = df_total - dead
+    if df_exact <= 0:
+        return []
+    idf = idf_py(df_exact, n_docs)
+    for pt in pts:
+        pt.set_idf(idf)
+    return pts
 
 
 def _topk_one_query(terms: list[_Term], k: int, avgdl: float):
@@ -236,7 +337,9 @@ def wand_topk(
     """Top-k via interval-at-a-time block-max WAND; exact same results
     as segment_topk, plus per-query decode counters
     (blocks_decoded / blocks_total) so tests and benches can assert
-    pruning actually happened.
+    pruning actually happened. Serves LAYERED (merge-on-read)
+    snapshots exactly too — see the layered block below — so upsert
+    pipelines never need a compaction barrier before querying.
 
     Batched execution: queries are hashed into ``n_groups`` groups
     (default = max(shuffle partitions, index.n_buckets) — each group
@@ -266,27 +369,48 @@ def wand_topk(
         query_terms,
     )
 
+    # Layered (merge-on-read) snapshots are served EXACTLY without a
+    # compaction barrier: each (term, generation) becomes its own
+    # pseudo-term (within one generation blocks stay doc-range
+    # disjoint — doc-id-range salts), slices resolve tombstones
+    # vectorized, and idf is recomputed exactly from per-generation
+    # stored df minus tombstone-dead postings (see _pseudo_terms).
+    # Stored max_tf/min_dl stay SAFE upper bounds under deletion, so
+    # pruning never changes a result; it just loses sharpness as
+    # layers pile up — CompactionPolicy restores peak speed, it no
+    # longer gates servability. The tombstone set is delta-sized by
+    # policy; it ships to the kernel via task closure, capped so an
+    # un-compacted pipeline fails loudly instead of shipping an
+    # unbounded set.
+    tomb_np: tuple[np.ndarray, np.ndarray] | None = None
     if index.has_deltas:
-        # Block-max pruning needs consolidated per-term stats: on a
-        # layered (merge-on-read) snapshot the stored df is
-        # per-generation and delta blocks overlap base doc-id ranges,
-        # so both the bounds and the disjoint-blocks invariant break.
-        # Same stance as Lucene: serve heavy traffic from merged
-        # segments (maintenance.compact()); point lookups between
-        # compactions go through segment_topk (exact merge-on-read).
-        raise ValueError(
-            "wand_topk requires a compacted index — this snapshot has "
-            f"{len(index.layers)} delta layer(s); run "
-            "maintenance.compact() first (segment_topk serves layered "
-            "snapshots exactly)"
-        )
+        tomb_df = index.tombstones()
+        if tomb_df is not None:
+            cap = int(os.environ.get("SPARK_GRAFT_WAND_TOMB_CAP",
+                                     2_000_000))
+            tmax = tomb_df.groupBy("doc_id").agg(
+                F.max("gen_seq").alias("tomb_seq")
+            )
+            tp = tmax.toPandas()
+            if len(tp) > cap:
+                raise ValueError(
+                    f"layered snapshot carries {len(tp):,} tombstoned "
+                    f"docs (> cap {cap:,}) — run maintenance.compact() "
+                    "or raise SPARK_GRAFT_WAND_TOMB_CAP"
+                )
+            if len(tp):
+                tp = tp.sort_values("doc_id")
+                tomb_np = (tp["doc_id"].to_numpy(np.int64),
+                           tp["tomb_seq"].to_numpy(np.int64))
+    layered = index.has_deltas
     qt = query_terms(queries, id_col, text_col)
     # collect-free: bucket partitions prune dynamically from the
     # broadcast term side; no term list ever reaches the driver
-    blocks = index.blocks_for_query_terms(qt).select(
+    block_cols = [
         "term", "df", "salt", "block_seq", "doc_id_lo", "doc_id_hi",
         "max_tf", "min_dl", "payload",
-    )
+    ] + (["gen_seq"] if layered else [])
+    blocks = index.blocks_for_query_terms(qt).select(*block_cols)
     # pin parallelism: the per-query loop is CPU-bound Python/numpy —
     # don't let AQE coalesce the (small-bytes) shuffle under the core
     # count and serialize it
@@ -313,18 +437,23 @@ def wand_topk(
     )
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        terms: dict[str, _Term] = {}
+        terms: dict[str, list[_Term]] = {}
         q2t: dict[str, list[str]] = {}
         for term, g in pdf.groupby("term", sort=True):
-            g2 = g.sort_values(["salt", "block_seq"])
-            terms[term] = _Term(
-                idf_py(int(g2["df"].iloc[0]), n_docs), g2, avgdl, micro=micro
-            )
+            if layered:
+                pts = _pseudo_terms(g, n_docs, avgdl, micro, tomb_np)
+            else:
+                g2 = g.sort_values(["salt", "block_seq"])
+                pts = [_Term(idf_py(int(g2["df"].iloc[0]), n_docs), g2,
+                             avgdl, micro=micro)]
+            if not pts:
+                continue  # every posting of the term is tombstoned
+            terms[term] = pts
             for qid in g["qids"].iloc[0]:
                 q2t.setdefault(qid, []).append(term)
         frames = []
         for qid in sorted(q2t):
-            ts = [terms[t] for t in q2t[qid]]
+            ts = [pt for t in q2t[qid] for pt in terms[t]]
             for t in ts:
                 t.requested.clear()
             docs, scores, matched, decoded, total = _topk_one_query(

@@ -64,8 +64,10 @@ def stream_ingest(
     coarse-grained); ``compact_policy`` (a
     ``maintenance.CompactionPolicy``) instead compacts by MEASURED
     state — layer count / accumulated delta volume — after each batch
-    (round-5 item 3: a WAND-serving pipeline can never wedge on the
-    has_deltas refusal). Leave both None and run
+    (wand_topk serves layered snapshots exactly since round 5, but
+    pruning sharpness and the tombstone-closure size both degrade as
+    layers pile up — the policy keeps serving at peak). Leave both
+    None and run
     ``maintenance.compact()`` on your own schedule. ``mode="rebuild"``
     re-encodes affected buckets per batch (copy-on-write; keeps the
     index WAND-ready at all times at much higher write amplification).

@@ -79,10 +79,16 @@ def stream_match(
         # committed new snapshots (possibly delta layers) mid-stream
         idx = SegmentIndex.open(spark, index_dir)
         score_c = "score_micro" if micro else "score"
-        if idx.has_deltas:
-            # WAND needs a compacted index; merge-on-read batches are
-            # served exactly by the brute path (same docs/ranks/
-            # scores), with the decode counters nulled to keep one
+        try:
+            # WAND serves layered snapshots exactly too (round 5) —
+            # a concurrent stream_ingest committing delta layers
+            # mid-stream no longer forces the brute path
+            res = wand_topk(idx, batch_df, k=k, micro=micro)
+        except ValueError:
+            # tombstone set outgrew the kernel-closure cap (a
+            # long-uncompacted pipeline): serve this batch exactly via
+            # the brute merge-on-read path instead of wedging the
+            # stream, with the decode counters nulled to keep one
             # output schema across batches
             res = segment_topk(idx, batch_df, k=k, micro=micro).select(
                 "query_id",
@@ -97,8 +103,6 @@ def stream_match(
                 F.lit(None).cast("int").alias("blocks_decoded"),
                 F.lit(None).cast("int").alias("blocks_total"),
             )
-        else:
-            res = wand_topk(idx, batch_df, k=k, micro=micro)
         # idempotent per-batch commit: a replay of batch N rewrites
         # out_dir/batch_id=N with identical content
         res.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")

@@ -13,9 +13,10 @@ Contracts:
   identical to the original index under the new layout, and the
   corpus is never re-read.
 - ``CompactionPolicy`` + ``maybe_compact`` keep a continuously
-  upserting pipeline WAND-servable (the has_deltas refusal can never
-  wedge it) and the policy-fired compactions are visible in the
-  snapshot log with ``trigger="policy:..."``.
+  upserting pipeline at peak WAND serving speed (layered snapshots
+  serve exactly since round 5; compaction restores pruning sharpness
+  and bounds the tombstone closure) and the policy-fired compactions
+  are visible in the snapshot log with ``trigger="policy:..."``.
 """
 
 from __future__ import annotations

@@ -12,8 +12,10 @@ Lucene's segment merge):
 - ``compact()`` merges the layers back to one generation whose blocks
   are BIT-IDENTICAL (payload bytes, stats, salts, block boundaries)
   to the from-scratch rebuild — without ever re-reading the corpus;
-- WAND refuses layered snapshots (per-generation stats are unsafe for
-  block-max bounds) and agrees with brute force after compaction;
+- WAND serves layered snapshots EXACTLY (one pseudo-term per
+  (term, generation), tombstone-resolved slices, exact idf from
+  per-generation df minus tombstone-dead postings) and still agrees
+  with brute force after compaction;
 - ``vacuum`` after compaction reclaims the delta generations.
 """
 
@@ -192,9 +194,78 @@ def test_layered_tombstone_semantics(spark, layered):
     assert len(by_q["q_readd"]) >= 1 and len(by_q["q_over"]) == 1
 
 
-def test_wand_refuses_layered(spark, layered):
+def test_wand_layered_equals_rebuild(spark, layered, rebuilt):
+    """Layered WAND == brute force over the from-scratch rebuild:
+    same docs, ranks, matched_terms, scores — the pruned executor
+    resolves tombstones and recomputes df exactly, so merge-on-read
+    never gates servability (round-5: the has_deltas refusal is
+    gone)."""
+    d, final = layered
+    queries = _queries(spark, final)
+    idx = SegmentIndex.open(spark, d)
+    for k in (1, 3, K):
+        got = [
+            (r["query_id"], r["rank"], r["doc_id"], r["score"],
+             r["matched_terms"])
+            for r in wand_topk(idx, queries, k=k)
+            .orderBy("query_id", "rank").collect()
+        ]
+        want = [
+            (r["query_id"], r["rank"], r["doc_id"], r["score"],
+             r["matched_terms"])
+            for r in segment_topk(
+                SegmentIndex.open(spark, rebuilt), queries, k=k)
+            .orderBy("query_id", "rank").collect()
+        ]
+        _assert_topk_equal(got, want)
+
+
+def test_wand_layered_micro_equals_layered_brute(spark, layered):
+    """Integer micro mode: layered WAND hash-equals layered
+    segment_topk bit-for-bit (both resolve the same snapshot)."""
+    d, final = layered
+    queries = _queries(spark, final)
+    idx = SegmentIndex.open(spark, d)
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score_micro"])
+        for r in wand_topk(idx, queries, k=K, micro=True).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score_micro"])
+        for r in segment_topk(idx, queries, k=K, micro=True).collect()
+    )
+    assert got == want
+
+
+def test_wand_layered_tombstone_semantics(spark, layered):
+    """Deleted docs never surface through the pruned path; overwritten
+    and re-added docs surface exactly once with the NEW content."""
+    d, _ = layered
+    idx = SegmentIndex.open(spark, d)
+    q = spark.createDataFrame(
+        [
+            ("q_del_base", "uniq00003doc"),
+            ("q_del_delta", "uniq00060doc"),
+            ("q_readd", "resurrected gamma"),
+            ("q_over", "freshoverwrite"),
+        ],
+        "query_id string, text string",
+    )
+    rows = wand_topk(idx, q, k=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert "q_del_base" not in by_q and "q_del_delta" not in by_q
+    assert len(by_q["q_readd"]) >= 1 and len(by_q["q_over"]) == 1
+
+
+def test_wand_layered_tombstone_cap(spark, layered, monkeypatch):
+    """An un-compacted pipeline whose tombstone set outgrows the cap
+    fails loudly with a compact() pointer instead of shipping an
+    unbounded set into every kernel task."""
     d, final = layered
     idx = SegmentIndex.open(spark, d)
+    monkeypatch.setenv("SPARK_GRAFT_WAND_TOMB_CAP", "1")
     with pytest.raises(ValueError, match="compact"):
         wand_topk(idx, _queries(spark, final), k=K)
 

@@ -137,3 +137,74 @@ def test_update_touches_only_affected_buckets(spark, state, index_dir):
     # delete delta, inheritance must occur
     assert any(g == "seg_init" or g.startswith("seg_u") for g in gens)
     assert len(gens) >= 1
+
+
+def test_explicit_ids_update_matches_oracle(spark, corpus_pdf,
+                                            tmp_path_factory):
+    """Bring-your-own doc ids (round 5): an index built with an
+    explicit id_col accepts delta updates carrying the same ids —
+    overwrites tombstone the OLD id's postings, deletes remove by id,
+    and layered results are rank-identical to the oracle over the
+    mutated corpus under the caller's id order (tie-breaks included).
+    """
+    import pandas as pd
+
+    d = str(tmp_path_factory.mktemp("explicitids"))
+    pdf = corpus_pdf.iloc[:50].copy().reset_index(drop=True)
+    pdf["doc_id"] = pdf.index.astype("int64") * 10  # caller's own ids
+    base = pdf.iloc[:40]
+    build_segment_index(spark, spark.createDataFrame(base), d,
+                        n_buckets=4, hot_df=8, block_size=16)
+
+    over = pdf.iloc[[0, 1]].copy()
+    over["content"] = ["explicit overwrite alpha alpha",
+                       "explicit overwrite beta"]
+    add = pd.concat([over, pdf.iloc[40:50]], ignore_index=True)
+    apply_updates(spark, d, add_corpus=spark.createDataFrame(add),
+                  mode="delta", explicit_ids=True)
+    apply_updates(
+        spark, d,
+        delete_keys=spark.createDataFrame(pdf.iloc[[5]][["doc_id"]]),
+        mode="delta", explicit_ids=True,
+    )
+
+    final = pdf.copy()
+    final.loc[0, "content"] = add.iloc[0]["content"]
+    final.loc[1, "content"] = add.iloc[1]["content"]
+    final = final.drop(index=[5]).reset_index(drop=True)
+
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.sources.corpus import (
+        make_queries,
+    )
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.wand import (
+        wand_topk,
+    )
+
+    qpdf = make_queries(final, n_queries=6, seed=3)
+    qdf = spark.createDataFrame(qpdf[["query_id", "text"]])
+    idx = SegmentIndex.open(spark, d)
+    assert idx.has_deltas
+    want = oracle_topk_frame(_oracle_for(spark, final), qpdf, k=K)
+    for res in (segment_topk(idx, qdf, k=K),
+                wand_topk(idx, qdf, k=K)):
+        got = res.orderBy("query_id", "rank").collect()
+        assert len(got) == len(want)
+        for g, (_, w) in zip(got, want.iterrows()):
+            assert (g["query_id"], g["rank"], g["doc_id"]) == (
+                w["query_id"], w["rank"], w["doc_id"])
+            assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+
+
+def test_explicit_ids_requires_doc_id_column(spark, corpus_pdf,
+                                             tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("explicitids_bad"))
+    pdf = corpus_pdf.iloc[:10].copy().reset_index(drop=True)
+    pdf["doc_id"] = pdf.index.astype("int64")
+    build_segment_index(spark, spark.createDataFrame(pdf), d,
+                        n_buckets=2, hot_df=8, block_size=16)
+    no_id = corpus_pdf.iloc[10:12][["repo", "path", "commit", "lang",
+                                    "content"]]
+    with pytest.raises(ValueError, match="doc_id"):
+        apply_updates(spark, d,
+                      add_corpus=spark.createDataFrame(no_id),
+                      mode="delta", explicit_ids=True)

@@ -318,12 +318,14 @@ def test_stream_ingest_with_periodic_compaction(spark, corpus_pdf, tmp_path):
     assert len(hits) == 1
 
 
-def test_stream_match_serves_layered_index_via_brute(
+def test_stream_match_serves_layered_index_wand_pruned(
     spark, corpus_pdf, tmp_path
 ):
-    """A delta-layered index must not kill the match stream: batches
-    fall back to the exact brute path (WAND requires compaction),
-    with decode counters nulled to keep one output schema."""
+    """A delta-layered index must not kill the match stream — and
+    since round 5 it is served WAND-PRUNED (layered pseudo-terms +
+    tombstone resolution), not by the brute fallback: real decode
+    counters, exact results for a doc that exists only in the delta
+    layer."""
     from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.maintenance import (
         apply_updates,
     )
@@ -355,7 +357,10 @@ def test_stream_match_serves_layered_index_via_brute(
 
     res = read_match_results(spark, str(tmp_path / "lout")).collect()
     assert len(res) >= 1
-    assert all(r["blocks_decoded"] is None for r in res)
+    # round 5: layered snapshots are served by WAND directly (the
+    # brute fallback only fires past the tombstone-closure cap), so
+    # the decode counters are real on layered batches too
+    assert all(r["blocks_decoded"] is not None for r in res)
 
 
 def test_read_match_results_before_first_batch_is_empty(spark, tmp_path):
@@ -453,13 +458,14 @@ def test_concurrent_ingest_match_soak(spark, corpus_pdf, tmp_path):
         put_queries([("q2", "uniq00035doc")])
         wait_served("q2", mq)
         # q2 was served from the LAYERED snapshot: the stream reopened
-        # the index mid-run and fell back to the exact brute path
+        # the index mid-run and served it WAND-pruned (round 5 —
+        # layered snapshots no longer force the brute fallback)
         q2_rows = read_match_results(spark, out, micro=True).filter(
             F.col("query_id") == "q2").collect()
         assert len(q2_rows) >= 1
-        assert all(r["blocks_decoded"] is None for r in q2_rows)
+        assert all(r["blocks_decoded"] is not None for r in q2_rows)
 
-        # mid-run compaction; the next batch runs WAND-pruned
+        # mid-run compaction; the next batch still runs WAND-pruned
         compact(spark, idx_dir)
         put_queries([("q3", "uniq00035doc")])
         wait_served("q3", mq)
