@@ -155,9 +155,14 @@ def run_battery(spark, sf_dir: str) -> dict[str, float]:
     api.q_ann_lsh_delta(spark, sf_dir)
     times["battery_setup"] = round(time.monotonic() - t0, 3)
     for name, fn in api.QUERIES.items():
-        t0 = time.monotonic()
-        fn(spark, sf_dir).collect()
-        times[name] = round(time.monotonic() - t0, 3)
+        # plan-union registry entries are timed per COMPONENT plan
+        # under their historical names — the union's wall time is just
+        # the sum of its parts and would break round-over-round
+        # comparability
+        for cname, cfn in api.BENCH_COMPONENTS.get(name, [(name, fn)]):
+            t0 = time.monotonic()
+            cfn(spark, sf_dir).collect()
+            times[cname] = round(time.monotonic() - t0, 3)
     return times
 
 

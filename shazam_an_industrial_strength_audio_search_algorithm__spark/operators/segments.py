@@ -1100,6 +1100,32 @@ class SegmentIndex:
             return self.segments([0]).filter(F.lit(False))
         return self.segments(buckets).filter(F.col("term").isin(terms))
 
+    def blocks_for_term_prefixes(self, prefixes: list[str]) -> DataFrame:
+        """Term-DICTIONARY range scan: every block whose term starts
+        with one of ``prefixes`` (the fulltext analog of an identifier
+        prefix search over source code). Bucket pruning does not apply
+        — term-hash bucketing scatters a lexicographic range across
+        every bucket by construction — but the ``StartsWith``
+        disjunction is pushed to the parquet scan, where the encoder's
+        (bucket, term)-clustered writes give row groups tight min/max
+        term stats, so non-matching row groups are skipped at the
+        storage layer. At 100 TB the scan stays bounded by the
+        dictionary slice, not the corpus."""
+        if not prefixes:
+            return self.segments([0]).filter(F.lit(False))
+        pred = F.col("term").startswith(prefixes[0])
+        for p in prefixes[1:]:
+            pred = pred | F.col("term").startswith(p)
+        return self.segments(None).filter(pred)
+
+    def postings_for_term_prefixes(self, prefixes: list[str],
+                                   with_positions: bool = False) -> DataFrame:
+        """Decoded (tombstone-resolved) postings for every indexed term
+        matching any of ``prefixes``."""
+        out = self._spread(self.blocks_for_term_prefixes(prefixes),
+                           with_positions, passthrough=("gen_seq",))
+        return self._resolve_layers(out) if self.has_deltas else out
+
     def blocks_for_query_terms(self, qt: DataFrame) -> DataFrame:
         """Collect-free block access: the (tiny) distinct-term frame
         broadcasts and inner-joins the block scan on (bucket, term).

@@ -298,3 +298,18 @@ def test_composed_queries_release_tracked_caches(spark):
     assert jsc.getPersistentRDDs().size() <= n0
     # temp layout dirs are registered for exit-time removal
     assert any("driver_segidx_" in d for d in api._TMP_DIRS)
+
+
+def test_bool_query_prefix_pushdown(spark):
+    """The boolean prefix clause must reach the parquet scan as a
+    pushed StartsWith — the term-dictionary range scan's whole value
+    at 100 TB is row-group pruning on the term-clustered blocks."""
+    from shazam_an_industrial_strength_audio_search_algorithm__spark import api
+
+    idx = api.docs_segment_index(spark, SF)
+    df = idx.blocks_for_term_prefixes(["tok001", "uniq"])
+    pf = pushed_filters(df)
+    assert any("StartsWith(term" in f for f in pf), pf
+
+    # and the full bool_query plan broadcasts the tiny spec sides
+    assert has_broadcast_join(api.q_bool_query(spark, SF))
