@@ -54,6 +54,29 @@ def main() -> None:
             "kernel runs in applyInPandas.",
         ),
         (
+            "wand_layered — pruned executor over a layered "
+            "merge-on-read snapshot (overwrites + adds + deletes "
+            "as delta generations)",
+            api.q_wand_layered(spark, SF),
+            "Same WAND shape as wand_topk: blocks from EVERY alive "
+            "generation join the broadcast query map and shuffle "
+            "once per GROUP; per-(term, generation) pseudo-terms "
+            "keep blocks doc-range disjoint inside the kernel, the "
+            "tombstone closure resolves vectorized — no compaction "
+            "barrier between upsert and serve.",
+        ),
+        (
+            "bool_query — boolean retrieval (must / must-not / "
+            "prefix) over the segment index",
+            api.q_bool_query(spark, SF),
+            "Each clause rides a pruned access path: must/must-not "
+            "postings decode behind the broadcast (bucket, term) "
+            "join; the prefix clause is a term-dictionary range "
+            "scan with StartsWith in the parquet PushedFilters; "
+            "clause results equi-join on (query_id, doc_id) — no "
+            "corpus-wide work anywhere.",
+        ),
+        (
             "ngram_jaccard — exact near-dup pairs via AllPairs "
             "prefix+length filtering",
             api.q_ngram_jaccard(spark, SF),
