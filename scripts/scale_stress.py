@@ -213,13 +213,28 @@ def cmd_compact(args) -> None:
         compact,
     )
 
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
+        SegmentIndex,
+    )
+
     spark = _spark(args.cores, shuffle=args.shuffle)
     t0 = time.monotonic()
-    rep = compact(spark, args.index)
+    rep = compact(
+        spark, args.index,
+        # --rebucket: re-evaluate the data-aware layout policy at the
+        # CURRENT doc count during the merge (round-5 item 2's second
+        # half) — how a grown index returns to ~constant per-bucket
+        # posting volume without re-reading the corpus
+        n_buckets="auto" if args.rebucket else None,
+        block_size="auto" if args.rebucket else None,
+    )
+    idx = SegmentIndex.open(spark, args.index)
     _emit({
         "leg": "compact", "sec": round(time.monotonic() - t0, 1),
         "snapshot": rep.snapshot_version,
         "merged_layers": rep.n_layers_merged,
+        "n_buckets": idx.n_buckets,
+        "block_size": idx.snapshot["block_size"],
     })
 
 
@@ -260,6 +275,9 @@ def main(argv: list[str]) -> int:
 
     c = sub.add_parser("compact")
     c.add_argument("--index", required=True)
+    c.add_argument("--rebucket", action="store_true",
+                   help="re-evaluate the data-aware layout policy at "
+                        "the current doc count during the merge")
 
     args = p.parse_args(argv)
     {"gen": cmd_gen, "build": cmd_build, "queries": cmd_queries,
