@@ -88,6 +88,17 @@ def cmd_build(args) -> None:
     spark = _spark(args.cores, shuffle=args.shuffle,
                    extra_conf=conf or None)
     corpus = spark.read.parquet(args.corpus)
+    # --buckets lo:hi (half-open) bounds a phase-B pass to a bucket
+    # subset: the single-pass 4M shuffle exceeded one box's scratch
+    # (ENOSPC at the segment write), and K passes of n_buckets/K each
+    # cut the resident map-output + staged-write footprint ~K× while
+    # committing the identical snapshot once the last pass lands the
+    # final manifest. Pair with --resume so later passes skip phase A
+    # and already-built buckets.
+    buckets = None
+    if args.buckets:
+        lo, hi = (int(x) for x in args.buckets.split(":"))
+        buckets = list(range(lo, hi))
     t0 = time.monotonic()
     rep = build_segment_index(
         spark, corpus, args.index,
@@ -97,8 +108,19 @@ def cmd_build(args) -> None:
         hot_df=HOT_DF,
         block_size=None if args.auto else BLOCK_SIZE,
         store_positions=False,
+        resume=args.resume,
+        buckets=buckets,
     )
     wall = time.monotonic() - t0
+    if rep.snapshot_version is None:
+        # bounded pass over a subset: snapshot not committed yet
+        _emit({
+            "leg": "build-pass", "index": args.index,
+            "sec": round(wall, 1), "built": len(rep.built_buckets),
+            "skipped": len(rep.skipped_buckets),
+            "buckets": args.buckets, "snapshot": None,
+        })
+        return
     idx = SegmentIndex.open(spark, args.index)  # commit sanity check
     tot = {"n_postings": 0, "n_terms": 0, "n_blocks": 0}
     import glob as _glob
@@ -256,6 +278,11 @@ def main(argv: list[str]) -> int:
     b.add_argument("--arrow-batch", type=int, default=None)
     b.add_argument("--auto", action="store_true",
                    help="data-aware n_buckets/block_size policy")
+    b.add_argument("--resume", action="store_true",
+                   help="skip phase A and already-built buckets")
+    b.add_argument("--buckets", default=None,
+                   help="lo:hi half-open bucket range — one "
+                        "bounded-scratch phase-B pass (see cmd_build)")
 
     qs = sub.add_parser("queries")
     qs.add_argument("--corpus", required=True)
