@@ -147,7 +147,18 @@ def docs_segment_index(spark: SparkSession, sf_dir: str):
 
 
 def queries_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(FLAGSHIP_QUERIES, "query_id string, text string")
+    """Flagship queries as an inline-VALUES relation. A
+    ``createDataFrame`` from local rows becomes a 32-slice
+    Python-backed RDD whose every evaluation (each broadcast build,
+    each ``coalesce(1)`` write) pays N Python-worker round-trips —
+    measured 4.1 s per single-task replay on local[32]. The SQL
+    VALUES form folds to a pure-JVM LocalRelation: broadcasts
+    materialize driver-side with no job at all, and this frame is
+    re-evaluated by nearly every fulltext query in the battery."""
+    vals = ", ".join(f"('{qid}', '{txt}')" for qid, txt in FLAGSHIP_QUERIES)
+    return spark.sql(
+        f"SELECT query_id, text FROM (VALUES {vals}) AS t(query_id, text)"
+    )
 
 
 # shared DuckDB CTE prefix: tokenize documents → tf / dl / df / stats

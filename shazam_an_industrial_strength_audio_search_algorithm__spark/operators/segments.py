@@ -79,6 +79,9 @@ from shazam_an_industrial_strength_audio_search_algorithm__spark.functions.codec
 from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.index_build import (
     with_doc_id,
 )
+from shazam_an_industrial_strength_audio_search_algorithm__spark.session import (
+    local_rows_df,
+)
 
 BLOCK_SIZE = 128
 
@@ -151,7 +154,7 @@ def resolve_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> li
     Python)."""
     if not terms:
         return []
-    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    df = local_rows_df(spark, [(t,) for t in terms], "term string")
     rows = (
         df.select(bucket_col(F.col("term"), n_buckets).alias("b"))
         .distinct()

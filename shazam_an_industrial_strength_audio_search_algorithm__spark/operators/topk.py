@@ -271,7 +271,11 @@ def global_rank(df: DataFrame, order_by: list,
         acc += int(r["count"])
     if not offsets:
         offsets = [(0, 0)]
-    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.session import (
+        local_rows_df,
+    )
+
+    off_df = local_rows_df(spark, offsets, "_pid int, _off long")
     return (
         local.join(F.broadcast(off_df), "_pid")
         .withColumn(rank_col, (F.col("_off") + F.col("_lrank")).cast("long"))
