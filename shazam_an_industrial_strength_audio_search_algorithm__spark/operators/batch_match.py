@@ -119,10 +119,10 @@ def batch_match_resumable(
             "index_version": index.version,
         })
 
-    for g in todo:
+    def run_group(g: int) -> None:
         mpath = f"{out_dir}/manifests/grp_{g}.json"
         if os.path.exists(mpath):
-            continue  # committed — the resume skip (Matching.py:96)
+            return  # committed — the resume skip (Matching.py:96)
         qs = qg.filter(F.col("_grp") == g).drop("_grp")
         t0 = time.monotonic()
         res = (
@@ -148,6 +148,29 @@ def batch_match_resumable(
             "wall_sec": round(time.monotonic() - t0, 3),
             "status": "committed",
         })
+
+    # Groups are independent jobs with independent commits — submit a
+    # few concurrently from driver threads so the next group's tasks
+    # back-fill executors idled by the current group's stragglers
+    # (spark_optimization_guide §2.6). Each group's results and
+    # manifest are written exactly as in the sequential loop, so a
+    # crash/rerun resumes identically; 2-4 in flight is enough to
+    # fill the tail without the groups fighting for executors.
+    pending = [
+        g for g in todo
+        if not os.path.exists(f"{out_dir}/manifests/grp_{g}.json")
+    ]
+    max_par = max(1, int(os.environ.get(
+        "SPARK_GRAFT_BATCH_MATCH_PARALLEL", "4")))
+    if len(pending) > 1 and max_par > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(max_par, len(pending))) as pool:
+            # materialize to surface the first exception, like the loop
+            list(pool.map(run_group, pending))
+    else:
+        for g in pending:
+            run_group(g)
 
     done = [
         g for g in range(n_groups)

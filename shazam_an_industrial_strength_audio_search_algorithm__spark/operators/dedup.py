@@ -27,6 +27,8 @@ made explicit).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -122,7 +124,13 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     inside the ``transform`` lambda re-embeds the regex tokenizer into
     the lambda body, re-running it per array ELEMENT — O(tokens²) per
     doc (measured 15 s for 5 k docs at sf0.1; ~1 s staged)."""
-    staged = df.select(
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.session import (
+        spread_input,
+    )
+
+    # regex tokenize + n-gram transform is the CPU kernel here; a
+    # single-row-group input would run it on one task (no-op at scale)
+    staged = spread_input(df).select(
         F.col(id_col).alias("doc_id"),
         tokens_col(F.col(text_col)).alias("__toks"),
     )
@@ -453,9 +461,16 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
         return pd.Series(map(one, zip(hashes, tfs)))
 
+    from shazam_an_industrial_strength_audio_search_algorithm__spark.session import (
+        spread_input,
+    )
+
     toks = tokens_col(F.col(text_col))
     terms = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        # regex tokenize dominates this stage; spread a narrow input
+        # so it doesn't run on one task (no-op at scale)
+        spread_input(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .groupBy("doc_id")
@@ -725,6 +740,45 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 50,
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Size-gated local kernel (the broadcast-join dispatch pattern):
+    # a delta-sized edge set pays O(rounds × jobs) of pure scheduling
+    # overhead through the distributed loop, while union-find over
+    # the collected edges is one bounded collect — same cap idiom as
+    # the WAND tombstone closure. Components and min-labels are
+    # identical by construction (min-label propagation computes
+    # exactly the per-component minimum); past the cap the
+    # distributed propagation below runs unchanged.
+    cc_cap = int(os.environ.get("SPARK_GRAFT_LOCAL_CC_CAP", "2000000"))
+    if edges.count() <= cc_cap:
+        from shazam_an_industrial_strength_audio_search_algorithm__spark.session import (
+            local_rows_df,
+        )
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            s, d = int(row["src"]), int(row["dst"])
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[rd] = rs
+        comp_min: dict[int, int] = {}
+        for n in parent:
+            r = find(n)
+            comp_min[r] = min(comp_min.get(r, n), n)
+        rows = sorted((n, comp_min[find(n)]) for n in parent)
+        return local_rows_df(
+            edges.sparkSession, rows, "doc_id long, cluster_id long"
+        )
     labels = (
         edges.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("label", F.col("doc_id"))

@@ -266,8 +266,15 @@ class InvertedIndex:
     @classmethod
     def build(cls, corpus: DataFrame, id_col: str = "doc_id",
               text_col: str = "content", cache: bool = True) -> "InvertedIndex":
+        from shazam_an_industrial_strength_audio_search_algorithm__spark.session import (
+            spread_input,
+        )
+
         if id_col == "doc_id" and "doc_id" not in corpus.columns:
             corpus = with_doc_id(corpus)
+        # the tokenize UDF is the heavy per-row kernel of this build;
+        # a single-row-group input otherwise runs it on one task
+        corpus = spread_input(corpus)
         dt = build_doc_terms(corpus, id_col, text_col)
         if cache:
             dt = dt.cache()

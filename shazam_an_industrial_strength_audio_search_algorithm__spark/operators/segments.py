@@ -653,6 +653,14 @@ def build_segment_index(
         )
 
         _t0 = _time.monotonic()
+        # spread a narrow input first: the tokenize UDF below is the
+        # phase's CPU kernel, and a single-row-group corpus file
+        # would otherwise run it on one task (no-op at scale)
+        from shazam_an_industrial_strength_audio_search_algorithm__spark.session import (
+            spread_input,
+        )
+
+        corpus = spread_input(corpus)
         # ONE tokenize pass: the persisted stage feeds both the
         # doc_terms explode AND the doc_lens projection — 'tokenize
         # once, ever', no second corpus pass, no postings shuffle

@@ -32,6 +32,22 @@ def local_rows_df(spark: SparkSession, rows, schema):
     )
 
 
+def spread_input(df, n: int | None = None):
+    """Round-robin repartition an input whose scan yields fewer
+    partitions than the session's parallelism — single-row-group
+    parquet files (and other small inputs) otherwise pin every
+    downstream per-row kernel (tokenize UDFs, shingle transforms,
+    decoders) to ONE task. The shuffle moves only the small input
+    once; at scale, scans already produce >= parallelism partitions
+    and this is a pure no-op (no exchange added). Apply it where the
+    per-row work dominates the input bytes, never to cheap scans."""
+    spark = df.sparkSession
+    n = n or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def get_spark(
     app_name: str = "shazam_spark_engine",
     cores: int | None = None,
@@ -69,6 +85,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # partition discovery of the bucket/cell-partitioned layouts:
+        # below this threshold the driver lists directories itself;
+        # above it Spark launches a distributed listing JOB whose
+        # fixed overhead dwarfs a local-FS listing (measured: opening
+        # a 1457-partition layout 2.1 s via the job path vs 0.25 s
+        # driver-side). Distributed listing earns its keep on object
+        # stores with far more partitions than this — override via
+        # env for such deployments.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get(
+                "SPARK_GRAFT_PARTITION_DISCOVERY_THRESHOLD", "32768"
+            ),
+        )
     )
     # local-FS checksum files off by default: this sandbox has no
     # libhadoop native IO, so EVERY file create shells out to chmod
