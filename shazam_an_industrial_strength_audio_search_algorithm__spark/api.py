@@ -277,7 +277,13 @@ def _bm25_micro_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     qt = query_terms(queries_df(spark))
     qt_stats = idx.term_stats.join(F.broadcast(qt.select("term").distinct()), "term")
     matched = idx.doc_terms.join(F.broadcast(qt), "term")
-    scored = matched.join(F.broadcast(qt_stats), "term").withColumn(
+    # one exchange for score-sum AND every downstream per-query window
+    # (guide §2.4): hashing candidates by query_id alone satisfies
+    # groupBy(query_id, doc_id) and Window.partitionBy(query_id), so
+    # consumers (top-k, decide, stats) rank with no second shuffle
+    scored = matched.join(F.broadcast(qt_stats), "term").repartition(
+        F.col("query_id")
+    ).withColumn(
         "contrib_micro",
         F.round(
             score_col(F.col("tf"), F.col("df"), F.col("doc_len"),
@@ -843,7 +849,9 @@ def q_search_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = idx.doc_terms.join(F.broadcast(cand_docs), "doc_id",
                                   "left_semi")
     pv = positional_verify(postings, queries_df(spark))
-    return topk.join(pv, ["query_id", "doc_id"]).select(
+    # topk is ≤ k rows per query (dimension-sized) — broadcast it so
+    # the final attach is a hash join, not a size-estimated SMJ
+    return pv.join(F.broadcast(topk), ["query_id", "doc_id"]).select(
         "query_id", "rank", "doc_id", "score_micro",
         "best_delta", "aligned_count",
     )
@@ -877,7 +885,9 @@ def q_search_verified_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_docs = topk.select("doc_id").distinct()
     gated = postings.join(F.broadcast(cand_docs), "doc_id", "left_semi")
     pv = positional_verify(gated, qs)
-    return topk.join(pv, ["query_id", "doc_id"]).select(
+    # topk is ≤ k rows per query (dimension-sized) — broadcast it so
+    # the final attach is a hash join, not a size-estimated SMJ
+    return pv.join(F.broadcast(topk), ["query_id", "doc_id"]).select(
         "query_id", "rank", "doc_id", "score_micro",
         "best_delta", "aligned_count",
     )

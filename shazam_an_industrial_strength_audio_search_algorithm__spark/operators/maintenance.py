@@ -213,11 +213,22 @@ def apply_updates(
         # --- affected buckets ------------------------------------------
         affected = set()
         if has_delta_rows:
-            affected.update(
-                r["bucket"]
-                for r in spark.read.parquet(delta_read_path)
-                .select("bucket").distinct().collect()
-            )
+            if mode == "delta":
+                # the partitioned write just materialized one
+                # ``bucket=K`` dir per affected bucket — read the
+                # answer off the directory names instead of running a
+                # distinct-aggregation job over the delta parquet
+                affected.update(
+                    int(name.split("=", 1)[1])
+                    for name in os.listdir(delta_read_path)
+                    if name.startswith("bucket=")
+                )
+            else:
+                affected.update(
+                    r["bucket"]
+                    for r in spark.read.parquet(delta_read_path)
+                    .select("bucket").distinct().collect()
+                )
         if removed is not None and mode == "rebuild":
             # delta mode never touches base buckets — deletes are
             # tombstones applied at read; removal-affected buckets
@@ -256,13 +267,17 @@ def apply_updates(
                 )
             if new_dl is not None:
                 dl = dl.unionByName(new_dl)
-            dl.write.mode("overwrite").parquet(dl_path)
-            row = (
-                spark.read.parquet(dl_path)
-                .agg(F.count(F.lit(1)).alias("n"),
-                     F.sum("doc_len").alias("s"))
-                .collect()[0]
-            )
+            # n/sum ride the write job as an Observation — the
+            # read-back aggregation was a whole extra job for two
+            # scalars the writer already streams past
+            from pyspark.sql import Observation
+
+            obs = Observation(f"dl_{gen}")
+            dl.observe(
+                obs, F.count(F.lit(1)).alias("n"),
+                F.sum("doc_len").alias("s"),
+            ).write.mode("overwrite").parquet(dl_path)
+            row = obs.get
             n_docs_new = int(row["n"] or 0)
             sum_dl_new = int(row["s"] or 0)
         else:
@@ -292,16 +307,23 @@ def apply_updates(
                 rem_n, rem_sum = int(row["n"] or 0), int(row["s"] or 0)
             add_n = add_sum = 0
             if new_dl is not None:
-                # count BEFORE deciding to write: all-empty batches
-                # would write a schema-less (0-part-file) parquet dir
-                row = new_dl.agg(
-                    F.count(F.lit(1)).alias("n"),
+                # n/sum ride the write job as an Observation (one job,
+                # not count-then-write); an all-empty batch's dir is
+                # dropped after the fact so no schema-less/0-row delta
+                # scan ever attaches to the layer
+                from pyspark.sql import Observation
+
+                obs = Observation(f"dl_delta_{gen}")
+                new_dl.observe(
+                    obs, F.count(F.lit(1)).alias("n"),
                     F.sum("doc_len").alias("s"),
-                ).collect()[0]
+                ).write.mode("overwrite").parquet(dl_path)
+                row = obs.get
                 add_n, add_sum = int(row["n"] or 0), int(row["s"] or 0)
-                if add_n > 0:
-                    new_dl.write.mode("overwrite").parquet(dl_path)
-                else:
+                if add_n == 0:
+                    import shutil as _shutil
+
+                    _shutil.rmtree(dl_path, ignore_errors=True)
                     new_dl = None
             n_docs_new = base_n - rem_n + add_n
             sum_dl_new = base_sum - rem_sum + add_sum

@@ -73,7 +73,16 @@ def positional_verify(postings: DataFrame, queries: DataFrame,
             (F.col("pos") - F.col("qpos")).cast("long").alias("delta"),
         )
     )
-    hist = deltas.groupBy("query_id", "doc_id", "delta").agg(
+    # one exchange for histogram AND argmax window (guide §2.4):
+    # hashing deltas by (query_id, doc_id) satisfies the
+    # groupBy(query_id, doc_id, delta) clustering AND the window
+    # partitioning, so the post-histogram re-shuffle disappears; delta
+    # rows are barely wider than histogram rows (most bins hold 1-2
+    # votes), so the single earlier exchange also ships fewer total
+    # bytes than the two it replaces
+    hist = deltas.repartition(
+        F.col("query_id"), F.col("doc_id")
+    ).groupBy("query_id", "doc_id", "delta").agg(
         F.count(F.lit(1)).cast("long").alias("votes")
     )
     w = Window.partitionBy("query_id", "doc_id").orderBy(

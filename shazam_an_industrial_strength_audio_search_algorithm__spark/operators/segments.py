@@ -681,19 +681,23 @@ def build_segment_index(
         )
         timings["phase_a_doc_terms"] = _time.monotonic() - _t0
         _t0 = _time.monotonic()
+        # n_docs/sum_dl ride the write job as an Observation — the
+        # previous read-back aggregation over the just-written parquet
+        # was a whole extra job for two scalars the writer already
+        # streams past (guide §1/§2: don't re-scan for metadata)
+        from pyspark.sql import Observation
+
+        obs = Observation("dl_stats")
         (
             stage.select("doc_id", "doc_len")
             .filter(F.col("doc_len") > 0)
+            .observe(obs, F.count(F.lit(1)).alias("n"),
+                     F.sum("doc_len").alias("sum_dl"))
             .write.mode("overwrite")
             .parquet(dl_path)
         )
         stage.unpersist()
-        row = (
-            spark.read.parquet(dl_path)
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("doc_len").alias("sum_dl"))
-            .collect()[0]
-        )
+        row = obs.get
         timings["phase_a_doc_lens"] = _time.monotonic() - _t0
         n_ = int(row["n"] or 0)
         sum_ = int(row["sum_dl"] or 0)
@@ -1391,10 +1395,20 @@ def segment_topk(
     postings = index.postings_for_query_terms(qt)
     term_score = score_col(F.col("tf"), F.col("df"), F.col("doc_len"),
                            index.n_docs, index.avgdl)
+    # ONE exchange for score-sum AND rank window (guide §2.4): hash
+    # the candidate rows by query_id alone — that distribution
+    # satisfies both groupBy(query_id, doc_id) (subset clustering) and
+    # Window.partitionBy(query_id), so the post-agg re-shuffle the
+    # default plan inserts before the window disappears. Map-side
+    # partial agg collapsed ~nothing here anyway (a (query, doc)
+    # pair's rows arrive term-major, one term per map partition).
+    candidates = postings.join(F.broadcast(qt), "term").repartition(
+        F.col("query_id")
+    )
     if micro:
         contrib = F.round(term_score * F.lit(1_000_000.0)).cast("long")
         scored = (
-            postings.join(F.broadcast(qt), "term")
+            candidates
             .withColumn("contrib_micro", contrib)
             .groupBy("query_id", "doc_id")
             .agg(
@@ -1412,7 +1426,7 @@ def segment_topk(
                     "matched_terms")
         )
     scored = (
-        postings.join(F.broadcast(qt), "term")
+        candidates
         .withColumn("term_score", term_score)
         .groupBy("query_id", "doc_id")
         .agg(

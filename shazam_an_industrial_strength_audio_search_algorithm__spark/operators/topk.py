@@ -64,7 +64,12 @@ def bm25_scores(index: InvertedIndex, queries: DataFrame,
         F.broadcast(qt.select("term").distinct()), "term"
     )
     matched = index.doc_terms.join(F.broadcast(qt), "term")
-    scored = matched.join(F.broadcast(qt_stats), "term").withColumn(
+    # one exchange serves the score-sum AND every downstream
+    # per-query window (guide §2.4): hash by query_id alone — it
+    # satisfies groupBy(query_id, doc_id) and Window(query_id)
+    scored = matched.join(F.broadcast(qt_stats), "term").repartition(
+        F.col("query_id")
+    ).withColumn(
         "term_score",
         score_col(F.col("tf"), F.col("df"), F.col("doc_len"),
                   index.n_docs, index.avgdl),
@@ -155,6 +160,12 @@ def decide_compat(scores: DataFrame, queries: DataFrame, threshold,
     ranked = scores.withColumn("cand_rank", F.row_number().over(w_cand))
     ranked, thr = _threshold_expr(ranked, threshold)
     w_first = Window.partitionBy("query_id").orderBy(F.col("cand_rank").asc())
+    # every frame below keyed by query_id ALONE is one row per query —
+    # dimension-sized by the engine's query-batch contract (queries
+    # are the small axis; cf. per_query_thresholds) — so each join is
+    # an explicit broadcast: the planner's size estimates over these
+    # agg/window subtrees otherwise pick SortMergeJoin (8 SMJs + their
+    # exchanges measured in the match_compat plan, guide §3.1)
     match = (
         ranked.filter(F.col("score") > thr)
         .withColumn("rn", F.row_number().over(w_first))
@@ -167,7 +178,7 @@ def decide_compat(scores: DataFrame, queries: DataFrame, threshold,
         )
     )
     scanned = ranked.join(
-        match.select("query_id", "_mrank"), "query_id", "left"
+        F.broadcast(match.select("query_id", "_mrank")), "query_id", "left"
     ).filter(
         F.col("_mrank").isNull() | (F.col("cand_rank") < F.col("_mrank"))
     )
@@ -188,9 +199,9 @@ def decide_compat(scores: DataFrame, queries: DataFrame, threshold,
     )
     qs = queries.select(F.col(id_col).alias("query_id")).distinct()
     return (
-        qs.join(match.drop("_mrank"), "query_id", "left")
-        .join(second, "query_id", "left")
-        .join(n_c, "query_id", "left")
+        qs.join(F.broadcast(match.drop("_mrank")), "query_id", "left")
+        .join(F.broadcast(second), "query_id", "left")
+        .join(F.broadcast(n_c), "query_id", "left")
         .select(
             "query_id", "matched_doc_id", "matched_score",
             "second_doc_id", "second_score",
@@ -339,7 +350,9 @@ def decide(topk: DataFrame, queries: DataFrame, threshold,
             "query_id", "left",
         )
     qs = queries.select(F.col(id_col).alias("query_id")).distinct()
-    out = qs.join(ranked, "query_id", "left")
+    # ranked is one row per query (dimension-sized — the query batch
+    # is the small axis): explicit broadcast, not a size-estimate SMJ
+    out = qs.join(F.broadcast(ranked), "query_id", "left")
     out, thr = _threshold_expr(out, threshold)
     is_match = F.col("top1_score") > thr
     return out.select(

@@ -402,6 +402,12 @@ def wand_topk(
                 tp = tp.sort_values("doc_id")
                 tomb_np = (tp["doc_id"].to_numpy(np.int64),
                            tp["tomb_seq"].to_numpy(np.int64))
+    # ship the tombstone arrays as a Spark BROADCAST, not closure
+    # capture: a closure serializes into EVERY task (n_grp copies per
+    # job — 128+ at scale × up to ~30 MB at the cap), a broadcast
+    # ships once per executor and is torrent-distributed
+    tomb_bc = (index.spark.sparkContext.broadcast(tomb_np)
+               if tomb_np is not None else None)
     layered = index.has_deltas
     qt = query_terms(queries, id_col, text_col)
     # collect-free: bucket partitions prune dynamically from the
@@ -437,11 +443,12 @@ def wand_topk(
     )
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tomb_local = tomb_bc.value if tomb_bc is not None else None
         terms: dict[str, list[_Term]] = {}
         q2t: dict[str, list[str]] = {}
         for term, g in pdf.groupby("term", sort=True):
             if layered:
-                pts = _pseudo_terms(g, n_docs, avgdl, micro, tomb_np)
+                pts = _pseudo_terms(g, n_docs, avgdl, micro, tomb_local)
             else:
                 g2 = g.sort_values(["salt", "block_seq"])
                 pts = [_Term(idf_py(int(g2["df"].iloc[0]), n_docs), g2,

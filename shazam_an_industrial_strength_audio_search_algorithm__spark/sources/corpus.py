@@ -36,11 +36,30 @@ def _zipf_probs() -> np.ndarray:
     return p / p.sum()
 
 
+def _zipf_cdf() -> np.ndarray:
+    """Normalized cumulative distribution of ``_zipf_probs`` —
+    hoisted out of the per-doc sampling loop. ``RandomState.choice``
+    re-validates and re-cumsums the full probability vector on EVERY
+    call (two O(VOCAB_SIZE) passes per doc); drawing via
+    ``cdf.searchsorted(random_sample(n), side='right')`` consumes the
+    identical RNG stream and reproduces ``choice``'s exact arithmetic
+    (that IS its internal implementation), so the generated corpus is
+    bit-identical while the per-doc cost drops to the draws alone."""
+    cdf = _zipf_probs().cumsum()
+    cdf /= cdf[-1]
+    return cdf
+
+
+def _zipf_draw(rng: np.random.RandomState, cdf: np.ndarray,
+               size: int) -> np.ndarray:
+    return cdf.searchsorted(rng.random_sample(size), side="right")
+
+
 def make_corpus(n_docs: int = 500, seed: int = 42,
                 min_len: int = 50, max_len: int = 2000) -> pd.DataFrame:
     """Generate the corpus table. Unique key: (repo, path, commit)."""
     rng = np.random.RandomState(seed)
-    vocab, probs = _vocab(), _zipf_probs()
+    vocab, cdf = _vocab(), _zipf_cdf()
     rows = []
     for d in range(n_docs):
         repo = f"org{d % 7}/repo{d % 97}"
@@ -48,7 +67,7 @@ def make_corpus(n_docs: int = 500, seed: int = 42,
         path = f"src/mod{d % 13}/file{d}.{lang}"
         commit = hashlib.sha256(f"{repo}:{path}:rev0".encode()).hexdigest()[:40]
         n_tok = int(rng.randint(min_len, max_len + 1))
-        toks = list(vocab[rng.choice(VOCAB_SIZE, size=n_tok, p=probs)])
+        toks = list(vocab[_zipf_draw(rng, cdf, n_tok)])
         # one rare discriminative term, repeated a few times at seeded spots
         uniq = f"uniq{d:05d}doc"
         for _ in range(3):
@@ -66,10 +85,10 @@ def make_update_fixtures(corpus: pd.DataFrame, seed: int = 43):
     key (ignored-skip, ``Hashing_update.py:89-93``).
     """
     rng = np.random.RandomState(seed)
-    vocab, probs = _vocab(), _zipf_probs()
+    vocab, cdf = _vocab(), _zipf_cdf()
     over = corpus.iloc[[0, 1]].copy()
     over["content"] = [
-        " ".join(vocab[rng.choice(VOCAB_SIZE, size=80, p=probs)]) + f" rewritten{i}mark"
+        " ".join(vocab[_zipf_draw(rng, cdf, 80)]) + f" rewritten{i}mark"
         for i in range(2)
     ]
     new_rows = []
@@ -77,7 +96,7 @@ def make_update_fixtures(corpus: pd.DataFrame, seed: int = 43):
         repo, lang = f"orgnew/repo{i}", LANGS[i]
         path = f"src/new/file{i}.{lang}"
         commit = hashlib.sha256(f"{repo}:{path}:rev0".encode()).hexdigest()[:40]
-        toks = list(vocab[rng.choice(VOCAB_SIZE, size=120, p=probs)]) + [f"brandnew{i}doc"] * 3
+        toks = list(vocab[_zipf_draw(rng, cdf, 120)]) + [f"brandnew{i}doc"] * 3
         new_rows.append((repo, path, commit, lang, " ".join(toks)))
     add = pd.concat(
         [over, pd.DataFrame(new_rows, columns=corpus.columns)], ignore_index=True
@@ -151,7 +170,7 @@ def distributed_corpus(spark, n_docs: int, seed: int = 42,
     import pandas as _pd
     from pyspark.sql import functions as F
 
-    vocab, probs = _vocab(), _zipf_probs()
+    vocab, cdf = _vocab(), _zipf_cdf()
 
     def gen(batches):
         for pdf in batches:
@@ -165,7 +184,7 @@ def distributed_corpus(spark, n_docs: int, seed: int = 42,
                     f"{repo}:{path}:rev0".encode()
                 ).hexdigest()[:40]
                 n_tok = int(rng.randint(min_len, max_len + 1))
-                toks = list(vocab[rng.choice(VOCAB_SIZE, size=n_tok, p=probs)])
+                toks = list(vocab[_zipf_draw(rng, cdf, n_tok)])
                 uniq = f"uniq{d:07d}doc"
                 for _ in range(3):
                     toks[int(rng.randint(0, len(toks)))] = uniq
