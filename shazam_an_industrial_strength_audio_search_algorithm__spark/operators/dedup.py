@@ -323,9 +323,13 @@ def _minhash_params(num_perm: int, seed: int = 7):
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        num_perm: int = DEFAULT_NUM_PERM,
-                       seed: int = 7) -> DataFrame:
+                       seed: int = 7,
+                       shingle_df: DataFrame | None = None) -> DataFrame:
     """(doc_id, sig: array<long>[num_perm]) — shingles hashed JVM-side
-    (xxhash64), permutations applied vectorized in one pandas UDF."""
+    (xxhash64), permutations applied vectorized in one pandas UDF.
+    ``shingle_df`` lets a caller that already materialized the shingle
+    frame (``minhash_lsh_pairs`` persists it for the verify stage)
+    reuse it instead of re-running the tokenizer."""
     a, b = _minhash_params(num_perm, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -340,7 +344,9 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
         return hashes.map(one)
 
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingle_df if shingle_df is not None else shingles(
+        df, id_col, text_col, n
+    )
     hashed = (
         sh.select("doc_id", F.xxhash64("shingle").alias("h"))
         .groupBy("doc_id")
@@ -363,7 +369,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
     Output: (doc_a, doc_b, est_jaccard_micro[, jaccard_micro])."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
+    from pyspark import StorageLevel
+
+    # ONE tokenize+shingle pass and ONE signature-UDF pass for the
+    # whole pipeline: sh feeds the signature build AND the exact
+    # verify (previously a third full shingle pass); sigs feeds the
+    # banding AND both sides of the estimate join (exchange reuse
+    # deduplicated the shuffle but re-ran the 64-perm UDF above it per
+    # consumer). MEMORY_ONLY for the same reason as ngram_jaccard's
+    # shingle persist: LRU-evictable, lazily recomputable.
+    sh = shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_ONLY)
+    sigs = minhash_signatures(
+        df, id_col, text_col, n, num_perm, seed, shingle_df=sh
+    ).persist(StorageLevel.MEMORY_ONLY)
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -412,10 +430,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     if not verify:
         return est
     # exact check on CANDIDATES ONLY — verification work is
-    # O(|candidates| × shingles/doc), never the all-pairs self-join
-    exact = exact_jaccard_for_pairs(
-        df, cand, id_col, text_col, n, threshold=threshold
-    )
+    # O(|candidates| × shingles/doc), never the all-pairs self-join;
+    # reuses the persisted shingle frame instead of re-tokenizing
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    exact = _verify_pairs(sh, sizes, cand, threshold)
     return (
         est.join(exact, ["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "est_jaccard_micro",
@@ -518,7 +536,14 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
             return shifted
         return shifted.bitwiseAND(F.lit((1 << w) - 1))
 
-    sigs = simhash_signatures(df, id_col, text_col, term_hash=term_hash)
+    from pyspark import StorageLevel
+
+    # both sides of the chunk self-join consume sigs: exchange reuse
+    # dedupes the underlying shuffle but the bit-fold UDF above it
+    # would re-run per side — persist so it folds once (MEMORY_ONLY:
+    # LRU-evictable, lazily recomputable)
+    sigs = simhash_signatures(df, id_col, text_col, term_hash=term_hash)\
+        .persist(StorageLevel.MEMORY_ONLY)
     chunked = sigs.select(
         "doc_id", "simhash",
         F.posexplode(
