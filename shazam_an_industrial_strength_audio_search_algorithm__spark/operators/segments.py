@@ -1193,7 +1193,16 @@ class SegmentIndex:
                 else T.LongType()
             ))
         n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        return blocks.repartition(n_part).mapInPandas(
+        # hash-spread on the block identity, NOT keyless round-robin:
+        # repartition(n) pays a local sort of every input partition
+        # (sortBeforeRepartition, needed to make round-robin
+        # deterministic under task retry) and that sort moves the
+        # compressed payload bytes; hashing (term, salt, block_seq) is
+        # deterministic by construction — same spread, no sort
+        # (guide §2.5 deterministic-keys rule)
+        return blocks.repartition(
+            n_part, F.xxhash64("term", "salt", "block_seq")
+        ).mapInPandas(
             lambda it: _decode_partition(it, with_positions, passthrough,
                                          explode_positions),
             schema=T.StructType(fields),
