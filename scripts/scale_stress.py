@@ -99,6 +99,22 @@ def cmd_build(args) -> None:
     if args.buckets:
         lo, hi = (int(x) for x in args.buckets.split(":"))
         buckets = list(range(lo, hi))
+        if not args.resume:
+            # a fresh (non-resume) build rmtree's the generation's
+            # seg/ + manifests/ dirs — forgetting --resume on pass 2+
+            # of a multi-pass bounded-scratch build would silently
+            # wipe pass 1's committed buckets (round-5 advice)
+            import glob as _glob
+
+            prior = (_glob.glob(f"{args.index}/manifests/init/bucket_*.json")
+                     or _glob.glob(f"{args.index}/manifests/rb*/bucket_*.json"))
+            if prior:
+                raise SystemExit(
+                    f"--buckets {args.buckets} without --resume, but "
+                    f"{args.index} already holds {len(prior)} committed "
+                    "bucket manifest(s) — a fresh build would destroy "
+                    "them. Pass --resume to continue the staged build."
+                )
     t0 = time.monotonic()
     rep = build_segment_index(
         spark, corpus, args.index,
@@ -129,10 +145,15 @@ def cmd_build(args) -> None:
         m = json.load(open(mp))
         for k in tot:
             tot[k] += int(m.get(k, 0))
+    # docs_per_sec only for a full from-scratch build: the final
+    # committing pass of a resumed multi-pass build would divide the
+    # FULL corpus by ONE pass's wall time — an inflated figure
+    # (round-5 advice)
+    full_build = not args.resume and buckets is None
     _emit({
         "leg": "build", "index": args.index, "n_docs": rep.n_docs,
         "sec": round(wall, 1),
-        "docs_per_sec": round(rep.n_docs / wall, 1),
+        "docs_per_sec": round(rep.n_docs / wall, 1) if full_build else None,
         "n_buckets": idx.n_buckets,
         "block_size": idx.snapshot["block_size"],
         "postings_per_bucket": round(tot["n_postings"] / idx.n_buckets)
