@@ -405,9 +405,16 @@ def q_match_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
         decide_compat,
     )
 
-    scores = _bm25_micro_scores(spark, sf_dir).select(
-        "query_id", "doc_id",
-        F.col("score_micro").alias("score"), "matched_terms",
+    # tracked persist: decide_compat consumes the scored-candidates
+    # frame from FOUR plan branches (cand ranking, first-match scan,
+    # second-best, candidate count); exchange reuse dedupes the
+    # shuffle but the aggregation above it re-ran per branch
+    release_caches()
+    scores = _persist_tracked(
+        _bm25_micro_scores(spark, sf_dir).select(
+            "query_id", "doc_id",
+            F.col("score_micro").alias("score"), "matched_terms",
+        )
     )
     out = decide_compat(scores, queries_df(spark), threshold=2_000_000)
     return out.select(
@@ -1037,6 +1044,9 @@ def docs_layered_segment_index(spark: SparkSession, sf_dir: str):
             spark, d,
             add_corpus=docs.filter((mod7 == 3) | (mod7 == 6)),
             mode="delta", explicit_ids=True,
+            # the batch keys are distinct documents-table doc_ids by
+            # construction — skip the strict-mode uniqueness probe job
+            assume_unique=True,
         )
         apply_updates(
             spark, d, delete_keys=ghosts.select("doc_id"),

@@ -756,12 +756,18 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 50,
     Only docs that appear in ≥1 pair come out (singletons are their
     own cluster trivially — callers left_anti join to find survivors).
     """
+    # both orientations via ONE explode instead of a self-union: the
+    # union's two branches each re-evaluated the whole pair-generation
+    # subtree above its last exchange (candidate verify joins included)
+    # — explode emits (a,b) and (b,a) from a single evaluation
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"),
-                         F.col(a_col).alias("dst"))
+        pairs.select(
+            F.explode(F.array(
+                F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+                F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+            )).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )
