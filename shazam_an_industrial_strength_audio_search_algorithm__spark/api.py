@@ -362,7 +362,8 @@ def q_match_or_nil(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qs = queries_df(spark).select("query_id")
     is_match = F.col("top1_score") > F.lit(threshold_micro)
-    return qs.join(agg, "query_id", "left").select(
+    # agg is one row per query (dimension-sized) — broadcast, not SMJ
+    return qs.join(F.broadcast(agg), "query_id", "left").select(
         "query_id",
         F.when(is_match, F.col("top1_doc")).alias("matched_doc_id"),
         F.when(is_match, F.col("top1_score")).alias("matched_score_micro"),
@@ -1338,8 +1339,9 @@ def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cust.select("c_nationkey").distinct()
-        .join(with_orders, "c_nationkey", "left")
-        .join(without, "c_nationkey", "left")
+        # per-nation aggregates are dimension-sized at any scale
+        .join(F.broadcast(with_orders), "c_nationkey", "left")
+        .join(F.broadcast(without), "c_nationkey", "left")
         .select(
             "c_nationkey",
             F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
