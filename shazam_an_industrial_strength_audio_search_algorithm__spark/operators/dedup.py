@@ -254,17 +254,22 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     t2 = 2 * t_micro - 1
     hashed = sh.withColumn("h", F.xxhash64("shingle"))
     # corpus df per shingle-hash: the canonical-order key. Counting on
-    # the 8-byte hash (not the string) keeps the wide agg narrow; a
+    # the 8-byte hash (not the string) keeps the wide op narrow; a
     # hash collision merely merges two rare shingles' df — the order
     # stays a pure function of the shingle, which is all the prefix
-    # theorem needs (shingle string is the tiebreak).
-    sdf = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("sdf"))
+    # theorem needs (shingle string is the tiebreak). A count window
+    # over h attaches df in ONE exchange of the shingle frame; the
+    # groupBy(h)+join form shipped the frame across two (partial-agg
+    # counts up, then the full frame again as the join probe side —
+    # and shingle df is near-unique, so partial agg collapsed nothing).
     w = Window.partitionBy("doc_id").orderBy(F.col("sdf").asc(),
                                              F.col("shingle").asc())
     # n_shingles rides the same doc_id exchange as the rank window —
     # no extra sizes join on this branch
     ranked = (
-        hashed.join(sdf, "h")
+        hashed.withColumn(
+            "sdf", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
         .withColumn("rn", F.row_number().over(w))
         .withColumn(
             "n_shingles",
@@ -412,9 +417,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    est = (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn(
+
+    def attach_est(pairs: DataFrame) -> DataFrame:
+        # sigs has exactly one row per doc (groupBy doc_id) and every
+        # candidate doc has one (banding reads sigs), so these inner
+        # joins neither drop nor duplicate pair rows
+        return pairs.join(sa, "doc_a").join(sb, "doc_b").withColumn(
             "est_jaccard_micro",
             F.round(
                 F.size(
@@ -425,19 +433,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                 ) * F.lit(1_000_000.0) / F.lit(num_perm)
             ).cast("long"),
         )
-        .select("doc_a", "doc_b", "est_jaccard_micro")
-    )
+
     if not verify:
-        return est
+        return attach_est(cand).select("doc_a", "doc_b",
+                                       "est_jaccard_micro")
     # exact check on CANDIDATES ONLY — verification work is
     # O(|candidates| × shingles/doc), never the all-pairs self-join;
-    # reuses the persisted shingle frame instead of re-tokenizing
+    # reuses the persisted shingle frame instead of re-tokenizing.
+    # The estimate attaches AFTER the threshold filter: the output is
+    # inner-join-identical either way (see attach_est), but the two
+    # signature joins then process only the surviving near-dup pairs
+    # instead of every LSH candidate — at scale candidates outnumber
+    # survivors by orders of magnitude
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     exact = _verify_pairs(sh, sizes, cand, threshold)
-    return (
-        est.join(exact, ["doc_a", "doc_b"])
-        .select("doc_a", "doc_b", "est_jaccard_micro",
-                "n_common", "jaccard_micro")
+    return attach_est(exact).select(
+        "doc_a", "doc_b", "est_jaccard_micro", "n_common", "jaccard_micro"
     )
 
 
