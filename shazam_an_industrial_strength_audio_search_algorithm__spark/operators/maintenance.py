@@ -35,8 +35,9 @@ from pyspark.sql import functions as F
 
 from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.index_build import (
     KEY_COLS,
-    build_doc_terms,
     dedup_last_wins,
+    doc_term_stage,
+    explode_doc_terms,
     with_doc_id,
 )
 from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.segments import (
@@ -180,9 +181,21 @@ def apply_updates(
         # --- delta doc_terms for added docs (schema must match the
         # base snapshot's doc_terms: positions present or not) --------
         has_delta_rows = False
+        stage = None
         if add_corpus is not None:
-            delta = build_doc_terms(
+            from pyspark import StorageLevel
+
+            # ONE tokenize pass for the whole update (the build's
+            # phase-A contract applied to deltas): the persisted stage
+            # feeds the delta doc_terms explode below AND the doc_lens
+            # projection further down — previously new_dl re-ran the
+            # tokenizer over the full add_corpus a second time
+            stage = doc_term_stage(
                 add_corpus,
+                with_positions=base.snapshot.get("store_positions", False),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            delta = explode_doc_terms(
+                stage,
                 with_positions=base.snapshot.get("store_positions", False),
             ).withColumn("bucket", bucket_col(F.col("term"), base.n_buckets))
             delta_read_path = (
@@ -243,19 +256,12 @@ def apply_updates(
         affected = sorted(affected)
 
         # --- doc_lens + global stats -----------------------------------
-        # narrow off the incoming corpus (size(tokens) per row) —
-        # never recovered by grouping the delta postings
-        from shazam_an_industrial_strength_audio_search_algorithm__spark.functions.tokenize import (
-            tokens_col,
-        )
-
+        # narrow off the persisted tokenize stage (doc_len = Σtf, the
+        # same total-token count) — no second tokenizer pass
         new_dl = None
         if add_corpus is not None:
             new_dl = (
-                add_corpus.select(
-                    "doc_id",
-                    F.size(tokens_col("content")).alias("doc_len"),
-                )
+                stage.select("doc_id", "doc_len")
                 .filter(F.col("doc_len") > 0)
             )
         if mode == "rebuild":
@@ -341,6 +347,8 @@ def apply_updates(
                 "mode": mode,
             },
         )
+        if stage is not None:
+            stage.unpersist()
     params = json.load(open(params_path))
     if params.get("mode", "rebuild") != mode:
         raise ValueError(
