@@ -138,10 +138,17 @@ def docs_segment_index(spark: SparkSession, sf_dir: str):
         # store_positions=True: the SAME persisted index serves both
         # BM25 (bm25_segment) and positional verification
         # (positional_segment) — positions ride in a trailing payload
-        # section the BM25 decode path skips
+        # section the BM25 decode path skips.
+        # When the v1 index over the same corpus is already built (the
+        # battery builds it first), its cached doc_terms feed phase A
+        # directly — the identical postings without a second
+        # positions-UDF tokenize pass over the documents table
+        dtf = (_INDEX_CACHE[sf_dir].doc_terms
+               if sf_dir in _INDEX_CACHE else None)
         build_segment_index(spark, docs, d, n_buckets=4, hot_df=64,
                             block_size=64, id_col="doc_id",
-                            text_col="content", store_positions=True)
+                            text_col="content", store_positions=True,
+                            doc_terms_df=dtf)
         _SEG_CACHE[sf_dir] = d
     return SegmentIndex.open(spark, _SEG_CACHE[sf_dir])
 

@@ -277,6 +277,22 @@ class InvertedIndex:
         corpus = spread_input(corpus)
         dt = build_doc_terms(corpus, id_col, text_col)
         if cache:
+            # (N, avgdl) off the cached postings instead of a second
+            # full-corpus tokenize pass (corpus_stats): doc_len is
+            # functionally determined by doc_id, so the distinct
+            # collapses map-side to ~one row per doc (a doc's postings
+            # are co-located by the explode) — a doc-count-sized
+            # shuffle, not the index. avg over the int doc_len sums
+            # exactly in a long, so the double result is
+            # order-independent and bit-equal to corpus_stats'.
             dt = dt.cache()
-        n, avgdl = corpus_stats(corpus, text_col)
+            row = (
+                dt.select("doc_id", "doc_len").distinct()
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.avg("doc_len").alias("avgdl"))
+                .collect()[0]
+            )
+            n, avgdl = int(row["n"] or 0), float(row["avgdl"] or 0.0)
+        else:
+            n, avgdl = corpus_stats(corpus, text_col)
         return cls(doc_terms=dt, term_stats=term_stats(dt), n_docs=n, avgdl=avgdl)
