@@ -1044,9 +1044,37 @@ def docs_layered_segment_index(spark: SparkSession, sf_dir: str):
             (F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"),
         )
         d = _mk_tmpdir("driver_layeredidx_")
+        # tokenize only what differs from the documents table: the v1
+        # index (built first by the battery) already holds postings
+        # for every unmodified doc, so the base build composes them
+        # with a fresh tokenize of just the stale/ghost rows (both
+        # constant 10-token texts), and the u2 delta IS the v1
+        # postings for its doc_ids — the fixture's content equals the
+        # documents table there by construction
+        from shazam_an_industrial_strength_audio_search_algorithm__spark.operators.index_build import (
+            build_doc_terms,
+        )
+
+        v1 = _INDEX_CACHE.get(sf_dir)
+        base_dtf = u2_dtf = None
+        if v1 is not None:
+            keep = v1.doc_terms.filter(
+                (F.pmod(F.col("doc_id"), F.lit(7)) != 3)
+                & (F.pmod(F.col("doc_id"), F.lit(7)) != 6)
+            ).select("doc_id", "term", "tf", "doc_len")
+            changed = build_doc_terms(
+                base.filter(mod7 == 3).unionByName(ghosts),
+                id_col="doc_id", text_col="content", with_positions=False,
+            ).select("doc_id", "term", "tf", "doc_len")
+            base_dtf = keep.unionByName(changed)
+            u2_dtf = v1.doc_terms.filter(
+                (F.pmod(F.col("doc_id"), F.lit(7)) == 3)
+                | (F.pmod(F.col("doc_id"), F.lit(7)) == 6)
+            ).select("doc_id", "term", "tf", "doc_len")
         build_segment_index(
             spark, base.unionByName(ghosts), d, n_buckets=4, hot_df=64,
             block_size=64, id_col="doc_id", text_col="content",
+            doc_terms_df=base_dtf,
         )
         apply_updates(
             spark, d,
@@ -1055,6 +1083,7 @@ def docs_layered_segment_index(spark: SparkSession, sf_dir: str):
             # the batch keys are distinct documents-table doc_ids by
             # construction — skip the strict-mode uniqueness probe job
             assume_unique=True,
+            add_doc_terms=u2_dtf,
         )
         apply_updates(
             spark, d, delete_keys=ghosts.select("doc_id"),

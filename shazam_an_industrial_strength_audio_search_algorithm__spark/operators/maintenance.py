@@ -88,6 +88,7 @@ def apply_updates(
     assume_unique: bool = False,
     auto_compact: "CompactionPolicy | None" = None,
     explicit_ids: bool = False,
+    add_doc_terms: DataFrame | None = None,
 ) -> UpdateReport:
     """MERGE-equivalent maintenance producing snapshot v+1.
 
@@ -111,6 +112,12 @@ def apply_updates(
       postings); ``maintenance.compact()`` later multi-way-merges
       the layers back to one generation (Lucene segment-merge
       analog, the reference's ``Combine.py:55-62`` consolidation).
+
+    ``add_doc_terms``: optional pre-tokenized postings (doc_id, term,
+    tf[, positions], doc_len) for EXACTLY the deduped ``add_corpus``
+    rows — skips the update's tokenizer pass entirely (the caller
+    guarantees correspondence; used when an in-memory index over the
+    same docs already holds them).
 
     ``auto_compact``: a ``CompactionPolicy`` — after this update
     commits, ``maybe_compact`` runs under it, so a continuously
@@ -183,21 +190,40 @@ def apply_updates(
         has_delta_rows = False
         stage = None
         if add_corpus is not None:
-            from pyspark import StorageLevel
+            store_pos = base.snapshot.get("store_positions", False)
+            if add_doc_terms is not None:
+                # pre-tokenized postings for the batch (e.g. composed
+                # from an already-built in-memory index over the same
+                # docs): no tokenizer pass at all for this update
+                if store_pos and "positions" not in add_doc_terms.columns:
+                    raise ValueError(
+                        "base stores positions but add_doc_terms "
+                        "carries no positions column"
+                    )
+                pcols = ["doc_id", "term", "tf"]
+                if store_pos:
+                    pcols.append("positions")
+                pcols.append("doc_len")
+                delta = add_doc_terms.select(*pcols).withColumn(
+                    "bucket", bucket_col(F.col("term"), base.n_buckets)
+                )
+            else:
+                from pyspark import StorageLevel
 
-            # ONE tokenize pass for the whole update (the build's
-            # phase-A contract applied to deltas): the persisted stage
-            # feeds the delta doc_terms explode below AND the doc_lens
-            # projection further down — previously new_dl re-ran the
-            # tokenizer over the full add_corpus a second time
-            stage = doc_term_stage(
-                add_corpus,
-                with_positions=base.snapshot.get("store_positions", False),
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-            delta = explode_doc_terms(
-                stage,
-                with_positions=base.snapshot.get("store_positions", False),
-            ).withColumn("bucket", bucket_col(F.col("term"), base.n_buckets))
+                # ONE tokenize pass for the whole update (the build's
+                # phase-A contract applied to deltas): the persisted
+                # stage feeds the delta doc_terms explode below AND
+                # the doc_lens projection further down — previously
+                # new_dl re-ran the tokenizer over the full add_corpus
+                # a second time
+                stage = doc_term_stage(
+                    add_corpus, with_positions=store_pos,
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                delta = explode_doc_terms(
+                    stage, with_positions=store_pos,
+                ).withColumn(
+                    "bucket", bucket_col(F.col("term"), base.n_buckets)
+                )
             delta_read_path = (
                 f"{index_dir}/data/dt_{gen}" if mode == "delta"
                 else dtdelta_path
@@ -257,13 +283,20 @@ def apply_updates(
 
         # --- doc_lens + global stats -----------------------------------
         # narrow off the persisted tokenize stage (doc_len = Σtf, the
-        # same total-token count) — no second tokenizer pass
+        # same total-token count) — no second tokenizer pass. With
+        # pre-tokenized postings, the doc-count-sized distinct (doc_len
+        # functional on doc_id, postings co-located) replaces the stage
         new_dl = None
         if add_corpus is not None:
-            new_dl = (
-                stage.select("doc_id", "doc_len")
-                .filter(F.col("doc_len") > 0)
-            )
+            if stage is not None:
+                new_dl = (
+                    stage.select("doc_id", "doc_len")
+                    .filter(F.col("doc_len") > 0)
+                )
+            else:
+                new_dl = (
+                    add_doc_terms.select("doc_id", "doc_len").distinct()
+                )
         if mode == "rebuild":
             dl = base.doc_lens()
             if removed is not None:
