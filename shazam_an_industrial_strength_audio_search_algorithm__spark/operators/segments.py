@@ -475,17 +475,37 @@ def build_buckets_batch(
         "bucket", "term", "df", "salt", "block_seq", "doc_id_lo",
         "doc_id_hi", "n_docs", "max_tf", "min_dl", "max_tfnorm", "payload",
     )
+    # per-bucket block counts ride the write job as an Observation
+    # (one count_if per bucket) instead of a read-back aggregation
+    # over the just-written parquet — a whole job per batch. Gated on
+    # bucket count: thousands of per-row comparisons per block would
+    # cost more than the read-back job they save.
+    from pyspark.sql import Observation
+
+    nb_obs = None
+    if len(buckets) <= int(os.environ.get(
+            "SPARK_GRAFT_OBS_BLOCKSTATS_MAX", "128")):
+        nb_obs = Observation(f"blocks_{gen}")
+        out = out.observe(nb_obs, *[
+            F.count_if(F.col("bucket") == b).alias(f"b{b}")
+            for b in buckets
+        ])
     (
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(f"{index_dir}/data/seg_{gen}")
     )
-    # per-bucket INPUT lineage, from the already-persisted term_df (no
-    # extra postings scan): an order-independent digest of the exact
-    # (term, df) multiset each bucket was built from, plus its term
-    # range. Resume can verify a skipped bucket's inputs against this
-    # (build_segment_index(verify_inputs=True)) without re-encoding.
+    # per-bucket INPUT lineage + postings stats in ONE job over the
+    # already-persisted term_df (no extra postings scan): the digest
+    # is an order-independent xxhash64 of the exact (term, df)
+    # multiset each bucket was built from (resume can verify a
+    # skipped bucket's inputs against it without re-encoding —
+    # build_segment_index(verify_inputs=True)); n_terms is the
+    # (bucket, term) row count and n_postings = Σdf, the same values
+    # the previous read-back recomputed from the written blocks
+    # (block salting partitions postings, so Σ n_docs over blocks
+    # = Σ df over terms).
     lineage = {
         r["bucket"]: r
         for r in term_df.groupBy("bucket")
@@ -496,41 +516,43 @@ def build_buckets_batch(
             F.bit_xor(F.xxhash64("term", "df")).alias("input_digest"),
             F.min("term").alias("term_min"),
             F.max("term").alias("term_max"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("df").alias("n_postings"),
         )
         .collect()
     }
     term_df.unpersist()
-    # a batch whose buckets hold NO postings (rebuild of a shrunken
-    # corpus) writes zero part files — schema inference over the bare
-    # dir would fail; such buckets commit honest all-zero manifests
-    seg_root = f"{index_dir}/data/seg_{gen}"
-    has_files = any(
-        f.endswith(".parquet")
-        for _, _, files in os.walk(seg_root) for f in files
-    )
-    stats = {} if not has_files else {
-        r["bucket"]: r
-        for r in spark.read.parquet(seg_root)
-        .filter(F.col("bucket").isin(buckets))
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_blocks"),
-            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_postings"),
-            F.countDistinct("term").alias("n_terms"),
+    if nb_obs is not None:
+        row = nb_obs.get
+        nblocks = {b: int(row[f"b{b}"] or 0) for b in buckets}
+    else:
+        # a batch whose buckets hold NO postings (rebuild of a
+        # shrunken corpus) writes zero part files — schema inference
+        # over the bare dir would fail; such buckets commit honest
+        # all-zero manifests
+        seg_root = f"{index_dir}/data/seg_{gen}"
+        has_files = any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(seg_root) for f in files
         )
-        .collect()
-    }
+        nblocks = {} if not has_files else {
+            r["bucket"]: int(r["n_blocks"])
+            for r in spark.read.parquet(seg_root)
+            .filter(F.col("bucket").isin(buckets))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_blocks"))
+            .collect()
+        }
     for b in buckets:
-        s = stats.get(b)
         lin = lineage.get(b)
         _atomic_write_json(
             f"{index_dir}/manifests/{gen}/bucket_{b}.json",
             {
                 "bucket": b,
                 "gen": gen,
-                "n_blocks": int(s["n_blocks"]) if s else 0,
-                "n_postings": int(s["n_postings"]) if s else 0,
-                "n_terms": int(s["n_terms"]) if s else 0,
+                "n_blocks": nblocks.get(b, 0),
+                "n_postings": int(lin["n_postings"]) if lin else 0,
+                "n_terms": int(lin["n_terms"]) if lin else 0,
                 "n_docs_corpus": n_docs,
                 "input_digest": int(lin["input_digest"]) if lin else 0,
                 "term_min": lin["term_min"] if lin else None,
