@@ -178,12 +178,33 @@ def apply_updates(
                 )
             )
         removed = None
+        rem_obs = None
         if removed_parts:
             removed = removed_parts[0]
             for p in removed_parts[1:]:
                 removed = removed.unionByName(p)
             removed = removed.distinct()
-            removed.write.mode("overwrite").parquet(removed_path)
+            if mode == "delta":
+                # the delta-mode stats accounting needs (n, Σdoc_len)
+                # of the removed docs actually alive — ride the
+                # removed write as an Observation over a doc_lens left
+                # join (count of non-null dl ≡ the alive semi-join)
+                # instead of re-reading the just-written parquet in a
+                # separate aggregation job
+                from pyspark.sql import Observation
+
+                rem_obs = Observation(f"rem_{gen}")
+                removed = (
+                    removed.join(
+                        base.doc_lens().select("doc_id", "doc_len"),
+                        "doc_id", "left",
+                    )
+                    .observe(rem_obs,
+                             F.count("doc_len").alias("n"),
+                             F.sum("doc_len").alias("s"))
+                )
+            removed.select("doc_id").write.mode("overwrite")\
+                .parquet(removed_path)
 
         # --- delta doc_terms for added docs (schema must match the
         # base snapshot's doc_terms: positions present or not) --------
@@ -335,14 +356,9 @@ def apply_updates(
             rem_n = rem_sum = 0
             if removed is not None:
                 # dl of the docs actually alive among the removed set
-                # (ghost delete keys drop out of the semi-join)
-                row = base.doc_lens().join(
-                    F.broadcast(spark.read.parquet(removed_path)),
-                    "doc_id", "left_semi",
-                ).agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum("doc_len").alias("s"),
-                ).collect()[0]
+                # (ghost delete keys have no doc_lens row and count 0)
+                # — captured by the Observation on the removed write
+                row = rem_obs.get
                 rem_n, rem_sum = int(row["n"] or 0), int(row["s"] or 0)
             add_n = add_sum = 0
             if new_dl is not None:
